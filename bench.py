@@ -1,0 +1,130 @@
+"""Benchmark: ICP registrations per second per chip.
+
+Mirrors the reference's headline workload (BASELINE.md): KITTI-style
+scan-to-scan ICP — voxel-decimated ~8k-point scans, 2 m threshold matcher,
+Horn -> Gauss-Newton schedule (demos/icp-settings-kitti.yaml). The
+reference publishes NO numbers (BASELINE.md: "published: {}"); the
+single-core C++ anchor below is our measured-order-of-magnitude estimate
+for mp2p_icp's icp-run on comparable pairs (KD-tree build + ~20-40
+NN/solve iterations on ~8k points: ~10 pairs/s single-core). The
+north-star target is >= 10x that per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+CPP_SINGLE_CORE_BASELINE_SCANS_PER_S = 10.0  # documented estimate, see above
+
+
+def synth_lidar_scan(rng, n=8192, n_range=60.0):
+    """KITTI-like decimated scan: points on noisy ground+structures within
+    ~n_range metres."""
+    ground = np.stack(
+        [
+            rng.uniform(-n_range, n_range, n // 2),
+            rng.uniform(-n_range, n_range, n // 2),
+            rng.normal(0, 0.05, n // 2),
+        ],
+        1,
+    )
+    walls = np.stack(
+        [
+            rng.uniform(-n_range, n_range, n // 2),
+            rng.choice([-20.0, -10.0, 10.0, 20.0], n // 2)
+            + rng.normal(0, 0.2, n // 2),
+            rng.uniform(0, 4, n // 2),
+        ],
+        1,
+    )
+    return np.concatenate([ground, walls]).astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mp2p_icp_tpu.core import se3
+    from mp2p_icp_tpu.core.pointcloud import PointCloud
+    from mp2p_icp_tpu.icp import ICP, ICPParameters
+    from mp2p_icp_tpu.matchers import MatcherAdaptive, MatcherPointsDistanceThreshold
+    from mp2p_icp_tpu.solvers.gauss_newton import GNParams
+    from mp2p_icp_tpu.solvers.robust import RobustKernel
+    from mp2p_icp_tpu.solvers.solver import SolverGaussNewton, SolverHorn
+
+    rng = np.random.RandomState(0)
+    scan = synth_lidar_scan(rng)
+    # ground-truth inter-scan motion ~ 1 m + small rotation (KITTI-like)
+    gt = se3.from_xyz_ypr(1.1, 0.05, 0.01, 0.01, 0.002, 0.001)
+    local_xyz = np.array(se3.apply(se3.inverse(gt), jnp.asarray(scan)))
+
+    g_layers = {"raw": PointCloud.from_numpy(scan)}
+    l_layers = {"raw": PointCloud.from_numpy(local_xyz)}
+
+    # icp-settings-kitti.yaml mirror: DistanceThreshold(2.0) iters 0-5 +
+    # Horn, then Adaptive matcher + GN(GemanMcClure) from iter 6
+    icp = ICP(
+        matchers=[
+            MatcherPointsDistanceThreshold(
+                threshold=2.0, run_up_to_iteration=5
+            ),
+            MatcherAdaptive(
+                confidence_interval=0.75,
+                first_to_second_distance_max=1.2,
+                absolute_max_search_distance=2.0,
+                run_from_iteration=6,
+            ),
+        ],
+        solvers=[
+            SolverHorn(run_up_to_iteration=5),
+            SolverGaussNewton(
+                run_from_iteration=6,
+                gn_params=GNParams(
+                    max_iterations=3,
+                    kernel=RobustKernel.GEMAN_MCCLURE,
+                    kernel_param=0.15,
+                ),
+            ),
+        ],
+    )
+    params = ICPParameters(max_iterations=40)
+    guess = se3.identity()
+
+    # warmup/compile
+    res = icp.align(l_layers, g_layers, guess, params)
+    jax.block_until_ready(res.optimal_tf.t)
+    err = float(se3.error_log_norm(gt, res.optimal_tf))
+
+    n_reps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        res = icp.align(l_layers, g_layers, guess, params)
+    jax.block_until_ready(res.optimal_tf.t)
+    dt = time.perf_counter() - t0
+    scans_per_s = n_reps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "kitti_style_scan2scan_registrations_per_s_per_chip",
+                "value": round(scans_per_s, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(
+                    scans_per_s / CPP_SINGLE_CORE_BASELINE_SCANS_PER_S, 2
+                ),
+                "extra": {
+                    "pose_err_se3_log": round(err, 5),
+                    "n_points": int(scan.shape[0]),
+                    "iters": int(res.n_iterations),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -218,6 +218,57 @@ def log(p: Pose) -> jax.Array:
     return jnp.concatenate([rho, theta], axis=-1)
 
 
+def _se3_Q(rho: jax.Array, theta: jax.Array) -> jax.Array:
+    """Barfoot's Q(xi) matrix — the off-diagonal block of the SE(3) left
+    Jacobian (State Estimation for Robotics, eq. 7.86). Taylor-guarded."""
+    th_sq = jnp.sum(theta * theta, axis=-1)
+    th = jnp.sqrt(th_sq + _EPS)
+    P = hat(rho)
+    T = hat(theta)
+    small = th_sq < 1e-8
+    # c1 = (th - sin th)/th^3
+    c1 = jnp.where(small, 1.0 / 6.0 - th_sq / 120.0, (th - jnp.sin(th)) / (th_sq * th))
+    # c2 = (1 - th^2/2 - cos th)/th^4
+    c2 = jnp.where(
+        small,
+        1.0 / 24.0 - th_sq / 720.0,
+        (1.0 - 0.5 * th_sq - jnp.cos(th)) / (th_sq * th_sq),
+    )
+    # c3 = 0.5 * (c2 - 3 (th - sin th - th^3/6)/th^5)
+    c3_big = 0.5 * (
+        c2 - 3.0 * (th - jnp.sin(th) - th_sq * th / 6.0) / (th_sq * th_sq * th)
+    )
+    c3 = jnp.where(small, 0.5 * (1.0 / 24.0 + 3.0 / 120.0), c3_big)
+    TP = T @ P
+    PT = P @ T
+    TPT = TP @ T
+    TT = T @ T
+    return (
+        0.5 * P
+        + c1[..., None, None] * (TP + PT + T @ PT)
+        - c2[..., None, None] * (TT @ P + P @ TT - 3.0 * TPT)
+        - c3[..., None, None] * (TPT @ T + TT @ PT)
+    )
+
+
+def se3_left_jacobian_inv(xi: jax.Array) -> jax.Array:
+    """Inverse left Jacobian of SE(3) for tangent xi = [rho, theta]:
+    6x6 [[Jl^-1, -Jl^-1 Q Jl^-1], [0, Jl^-1]]. Used for exact prior-factor
+    Jacobians (the reference calls MRPT's jacob_dDinvP1invP2_de1e2,
+    optimal_tf_gauss_newton.cpp:325-336)."""
+    rho, theta = xi[..., :3], xi[..., 3:]
+    Jinv = so3_left_jacobian_inv(theta)
+    Q = _se3_Q(rho, theta)
+    top = jnp.concatenate([Jinv, -Jinv @ Q @ Jinv], axis=-1)
+    bottom = jnp.concatenate([jnp.zeros_like(Q), Jinv], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_right_jacobian_inv(xi: jax.Array) -> jax.Array:
+    """Jr^-1(xi) = Jl^-1(-xi)."""
+    return se3_left_jacobian_inv(-xi)
+
+
 def quat_to_rot(q: jax.Array) -> jax.Array:
     """Unit quaternion [..., 4] = (w, x, y, z) -> rotation matrix."""
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)

@@ -1,0 +1,362 @@
+"""The ICP orchestrator — fused TPU registration loop.
+
+Reference parity: mp2p_icp/src/ICP.cpp:36-382 ``ICP::align()`` — the
+matcher->solver->termination->quality pipeline with per-iteration module
+gating, oscillation-aware stall detection, quality checkpoints and final
+covariance.
+
+TPU-first redesign: the whole iteration loop is one ``lax.while_loop``
+compiled into a single XLA program — zero host round-trips per iteration
+(the reference pays per-iteration KD-tree queries + virtual dispatch).
+Matcher/solver schedules (``runFromIteration``...) become traced 0/1 gates
+and ``lax.cond`` branches. Pairings ride in the loop carry (static shapes),
+so the final pairings for quality/covariance come for free.
+
+Call stack mirror of the reference (SURVEY.md §3.1):
+  align()                      -> ICP.align (host prep + jit dispatch)
+  run_matchers / Pairings      -> _run_matchers (batched NN, masked blocks)
+  run_solvers first-wins       -> _run_solvers (lax.cond chain)
+  termination / stall checks   -> inside _loop_body via se3.delta_norms
+  evaluate_quality             -> weighted evaluator sum after the loop
+  covariance                   -> analytic (H)^-1 (covariance.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.core.metric_map import MetricMap
+from mp2p_icp_tpu.core.pairings import (
+    Pairings,
+    PairsLn2Ln,
+    PairsPl2Pl,
+    PairsPt2Ln,
+    PairsPt2Pl,
+    PairsPt2Pt,
+)
+from mp2p_icp_tpu.core.pointcloud import PointCloud
+from mp2p_icp_tpu.core.se3 import Pose
+from mp2p_icp_tpu.covariance import covariance as compute_covariance
+from mp2p_icp_tpu.matchers.base import MatchContext, MatchState, point_layers
+from mp2p_icp_tpu.ops.voxel_hash import build_hash_grid
+from mp2p_icp_tpu.quality.paired_ratio import QualityPairedRatio
+from mp2p_icp_tpu.solvers.gauss_newton import SE3Prior
+
+
+class IterTermReason(enum.IntEnum):
+    """Reference: mp2p_icp/include/mp2p_icp/IterTermReason.h."""
+
+    UNDEFINED = 0
+    NO_PAIRINGS = 1
+    SOLVER_ERROR = 2
+    MAX_ITERATIONS = 3
+    STALLED = 4
+    HOOK_REQUEST = 5
+    QUALITY_CHECKPOINT_FAILED = 6
+
+
+_RUNNING = 0  # internal sentinel while the loop is live
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPParameters:
+    """Reference: mp2p_icp/include/mp2p_icp/Parameters.h:34-106."""
+
+    max_iterations: int = 40
+    min_abs_step_trans: float = 5e-4
+    min_abs_step_rot: float = 1e-4
+    # (iteration, min quality) pairs; reference default {50:0.05, 100:0.10}
+    quality_checkpoints: Tuple[Tuple[int, float], ...] = ((50, 0.05), (100, 0.10))
+    debug_print_iteration_progress: bool = False
+
+
+class ICPResults(NamedTuple):
+    """Reference: mp2p_icp/include/mp2p_icp/Results.h:29-58."""
+
+    optimal_tf: Pose
+    optimal_scale: jax.Array  # always 1.0 (reference scale support is vestigial)
+    n_iterations: jax.Array
+    termination_reason: jax.Array  # IterTermReason value
+    quality: jax.Array
+    final_pairings: Pairings
+    covariance: jax.Array  # [6, 6]
+
+
+class _LoopCarry(NamedTuple):
+    pose: Pose
+    prev_pose: Pose
+    prev2_pose: Pose
+    iteration: jax.Array
+    reason: jax.Array
+    pairings: Pairings
+
+
+@dataclasses.dataclass
+class ICP:
+    """Module container + align() entry point (reference: ICP.h:59-257).
+
+    matchers / solvers are static module lists (from YAML or code);
+    quality_evaluators evaluate the final registration.
+    """
+
+    matchers: Sequence = ()
+    solvers: Sequence = ()
+    quality_evaluators: Sequence = (QualityPairedRatio(),)
+    quality_weights: Sequence = None
+
+    def __post_init__(self):
+        if not self.quality_weights:
+            self.quality_weights = [1.0] * len(self.quality_evaluators)
+        self._jit_cache = {}
+
+    # ----------------------------------------------------------------- grids
+    def _grid_cell_sizes(self) -> Dict[str, float]:
+        """Cell size per global layer = max matcher search radius touching
+        that layer (27-cell completeness envelope)."""
+        sizes: Dict[str, float] = {}
+        for m in self.matchers:
+            r = m.search_radius()
+            for lm in m.layer_matches:
+                sizes[lm.global_layer] = max(sizes.get(lm.global_layer, 0.0), r)
+        return sizes
+
+    def build_grids(self, global_layers: Dict[str, PointCloud]):
+        return {
+            name: build_hash_grid(
+                global_layers[name].xyz,
+                global_layers[name].valid_mask(),
+                cell_size=size,
+            )
+            for name, size in self._grid_cell_sizes().items()
+        }
+
+    def _effective_matchers(self, grids):
+        """Auto-raise each matcher's k_per_cell to the observed max bucket
+        occupancy (rounded to a power of two, capped) so dense buckets are
+        never truncated — e.g. a search radius much larger than the cloud
+        (the bunny test: threshold 0.5 m vs a 0.15 m object) would otherwise
+        starve the one-to-one matching. Host-side; becomes part of the jit
+        cache key."""
+        occ = {
+            name: int(jnp.max(g.bucket_count)) for name, g in grids.items()
+        }
+
+        def pow2(n):
+            p = 8
+            while p < n:
+                p *= 2
+            return p
+
+        adjusted = []
+        for m in self.matchers:
+            need = max(
+                (occ.get(lm.global_layer, 8) for lm in m.layer_matches),
+                default=8,
+            )
+            k = min(pow2(need), 2048)
+            if k > m.k_per_cell:
+                m = dataclasses.replace(m, k_per_cell=k)
+            adjusted.append(m)
+        return tuple(adjusted)
+
+    # ------------------------------------------------------------- matchers
+    def _run_matchers(self, matchers, grids, global_layers, local_layers, pose, iteration):
+        """Sequentially run all matchers, concatenating their fixed-capacity
+        blocks into one Pairings (reference: run_matchers, Matcher.cpp:35-87)."""
+        state = MatchState.create(local_layers, global_layers)
+        ctx = MatchContext(icp_iteration=iteration)
+        acc: Dict[str, list] = {k: [] for k in ("pt2pt", "pt2ln", "pt2pl", "ln2ln", "pl2pl")}
+        potential = jnp.asarray(0, jnp.int32)
+        for m in matchers:
+            blocks, state, pot = m.match(
+                grids, global_layers, local_layers, pose, state, ctx
+            )
+            potential = potential + pot
+            for k, v in blocks.items():
+                acc[k].append(v)
+
+        def cat(blocks, cls):
+            if not blocks:
+                return cls.empty(1)
+            fields = {}
+            for f in dataclasses.fields(cls):
+                fields[f.name] = jnp.concatenate(
+                    [getattr(b, f.name) for b in blocks], axis=0
+                )
+            return cls(**fields)
+
+        return Pairings(
+            pt2pt=cat(acc["pt2pt"], PairsPt2Pt),
+            pt2ln=cat(acc["pt2ln"], PairsPt2Ln),
+            pt2pl=cat(acc["pt2pl"], PairsPt2Pl),
+            ln2ln=cat(acc["ln2ln"], PairsLn2Ln),
+            pl2pl=cat(acc["pl2pl"], PairsPl2Pl),
+            potential_pairings=potential,
+        )
+
+    # -------------------------------------------------------------- solvers
+    def _run_solvers(self, pairings, pose, iteration, guess, prior):
+        """First enabled solver wins (reference: ICP::run_solvers,
+        ICP.cpp:469-479) — realised as a reverse lax.cond chain."""
+        corr = jnp.linalg.norm(pose.t - guess.t)
+        result = pose
+        taken = jnp.asarray(False)
+        for s in self.solvers:
+            g = s.gate(iteration, corr) & ~taken
+            result = jax.lax.cond(
+                g,
+                lambda p=pairings, s=s, pose=pose, prior=prior: s.solve(p, pose, prior),
+                lambda r=result: r,
+            )
+            taken = taken | s.gate(iteration, corr)
+        return result
+
+    # ---------------------------------------------------------------- align
+    def align(
+        self,
+        local_map: MetricMap | Dict[str, PointCloud],
+        global_map: MetricMap | Dict[str, PointCloud],
+        guess: Pose,
+        params: Optional[ICPParameters] = None,
+        prior: Optional[SE3Prior] = None,
+    ) -> ICPResults:
+        """Register local onto global starting from guess."""
+        params = params or ICPParameters()
+        if not self.matchers or not self.solvers:
+            raise ValueError("ICP requires at least one matcher and one solver")
+        g_layers = point_layers(global_map)
+        l_layers = point_layers(local_map)
+        if not g_layers or not l_layers:
+            raise ValueError("empty input maps")
+        grids = self.build_grids(g_layers)
+        matchers = self._effective_matchers(grids)
+        key = (
+            params,
+            matchers,
+            prior is not None,
+            tuple(sorted((k, v.capacity) for k, v in g_layers.items())),
+            tuple(sorted((k, v.capacity) for k, v in l_layers.items())),
+        )
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                functools.partial(self._align_core, params, matchers)
+            )
+        return self._jit_cache[key](grids, g_layers, l_layers, guess, prior)
+
+    def _align_core(self, params, matchers, grids, g_layers, l_layers, guess, prior):
+        eps_t = params.min_abs_step_trans
+        eps_r = params.min_abs_step_rot
+
+        def body(carry: _LoopCarry) -> _LoopCarry:
+            pairings = self._run_matchers(
+                matchers, grids, g_layers, l_layers, carry.pose, carry.iteration
+            )
+            no_pairs = pairings.size() == 0
+            new_pose = self._run_solvers(
+                pairings, carry.pose, carry.iteration, guess, prior
+            )
+            solver_ok = jnp.all(jnp.isfinite(new_pose.t)) & jnp.all(
+                jnp.isfinite(new_pose.R)
+            )
+            # step-size + oscillation termination (reference: ICP.cpp:191-229)
+            dt1, dr1 = se3.delta_norms(carry.pose, new_pose)
+            dt2, dr2 = se3.delta_norms(carry.prev_pose, new_pose)
+            stalled = ((dt1 < eps_t) & (dr1 < eps_r)) | (
+                (dt2 < eps_t) & (dr2 < eps_r)
+            )
+            # quality checkpoints (reference: ICP.cpp:259-283) — evaluated on
+            # the in-loop pairing ratio
+            q = pairings.size().astype(jnp.float32) / jnp.maximum(
+                pairings.potential_pairings.astype(jnp.float32), 1.0
+            )
+            cp_fail = jnp.asarray(False)
+            for it, min_q in params.quality_checkpoints:
+                cp_fail = cp_fail | ((carry.iteration == it) & (q < min_q))
+
+            reason = jnp.where(
+                no_pairs,
+                IterTermReason.NO_PAIRINGS,
+                jnp.where(
+                    ~solver_ok,
+                    IterTermReason.SOLVER_ERROR,
+                    jnp.where(
+                        cp_fail,
+                        IterTermReason.QUALITY_CHECKPOINT_FAILED,
+                        jnp.where(stalled, IterTermReason.STALLED, _RUNNING),
+                    ),
+                ),
+            ).astype(jnp.int32)
+            keep_new = solver_ok & ~no_pairs
+            pose_out = Pose(
+                jnp.where(keep_new, new_pose.R, carry.pose.R),
+                jnp.where(keep_new, new_pose.t, carry.pose.t),
+            )
+            return _LoopCarry(
+                pose=pose_out,
+                prev_pose=carry.pose,
+                prev2_pose=carry.prev_pose,
+                iteration=carry.iteration + 1,
+                reason=reason,
+                pairings=pairings,
+            )
+
+        def cond(carry: _LoopCarry):
+            return (carry.reason == _RUNNING) & (
+                carry.iteration < params.max_iterations
+            )
+
+        init_pairings = self._run_matchers(
+            matchers, grids, g_layers, l_layers, guess, jnp.asarray(0, jnp.int32)
+        )
+        init = _LoopCarry(
+            pose=guess,
+            prev_pose=guess,
+            prev2_pose=guess,
+            iteration=jnp.asarray(0, jnp.int32),
+            reason=jnp.asarray(_RUNNING, jnp.int32),
+            pairings=init_pairings,
+        )
+        final = jax.lax.while_loop(cond, body, init)
+
+        reason = jnp.where(
+            final.reason == _RUNNING, IterTermReason.MAX_ITERATIONS, final.reason
+        )
+
+        # final quality = sum w_i q_i / sum w_i; hard discard forces 0
+        # (reference: ICP.cpp:322-324, 608-634)
+        ctx = MatchContext(icp_iteration=final.iteration)
+        q_acc = jnp.asarray(0.0)
+        w_acc = 0.0
+        discard = jnp.asarray(False)
+        for ev, w in zip(self.quality_evaluators, self.quality_weights):
+            qr = ev.evaluate(
+                final.pairings,
+                grids=grids,
+                global_map=g_layers,
+                local_map=l_layers,
+                pose=final.pose,
+                ctx=ctx,
+            )
+            q_acc = q_acc + w * qr.quality
+            w_acc += w
+            discard = discard | qr.hard_discard
+        quality = jnp.where(discard, 0.0, q_acc / max(w_acc, 1e-12))
+
+        cov = compute_covariance(final.pairings, final.pose)
+
+        return ICPResults(
+            optimal_tf=final.pose,
+            optimal_scale=jnp.asarray(1.0),
+            n_iterations=final.iteration,
+            termination_reason=reason,
+            quality=quality,
+            final_pairings=final.pairings,
+            covariance=cov,
+        )

@@ -1,0 +1,172 @@
+"""The workhorse pt2pt matcher.
+
+Reference parity: mp2p_icp/src/Matcher_Points_DistanceThreshold.cpp:48-269 —
+for each (transformed) local point, k-NN in the global layer; accept when
+distSq < threshold^2 + (angularFactor * |p|)^2; honour the already-paired
+bitfields; bump ``potential_pairings`` by nLocal * pairingsPerPoint.
+
+TPU-first: the entire per-point loop (the reference's TBB parallel_reduce)
+is one batched grid-hash NN query + masked writes. One-to-one exclusivity is
+a deterministic segment-min (ops.nn.resolve_one_to_one) instead of the
+reference's order-dependent (and racy under TBB) bitfield marking — tests
+assert pair counts/geometry, not identity (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mp2p_icp_tpu.core.metric_map import MetricMap
+from mp2p_icp_tpu.core.pairings import PairsPt2Pt
+from mp2p_icp_tpu.core.se3 import Pose
+from mp2p_icp_tpu.matchers.base import (
+    GridCache,
+    point_layers,
+    LayerMatch,
+    MatchContext,
+    Matcher,
+    MatchState,
+    subsample_mask,
+    transformed_local,
+)
+from mp2p_icp_tpu.ops.nn import nn_search, resolve_one_to_one
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherPointsDistanceThreshold(Matcher):
+    """Params (reference: Matcher_Points_DistanceThreshold.h:60-71)."""
+
+    threshold: float = 0.50
+    threshold_angular_deg: float = 0.0
+    pairings_per_point: int = 1
+    max_local_points_per_layer: int = 0
+    allow_match_already_matched_global_points: bool = False
+    allow_match_already_matched_points: bool = False
+    layer_matches: Tuple[LayerMatch, ...] = (LayerMatch(),)
+    k_per_cell: int = 16  # grid-hash candidate budget (TPU-specific)
+    # TPU-specific: worst-case sensor range used to bound the angular term's
+    # contribution to the grid cell size (the per-point threshold is
+    # thr^2 + (angFactor*|p|)^2 — unbounded in principle).
+    angular_range_hint: float = 100.0
+
+    def search_radius(self) -> float:
+        if self.threshold_angular_deg <= 0:
+            return self.threshold
+        ang = float(jnp.deg2rad(self.threshold_angular_deg)) * self.angular_range_hint
+        return float((self.threshold**2 + ang**2) ** 0.5)
+
+    def out_capacity(self, local_map: MetricMap) -> int:
+        return sum(
+            point_layers(local_map)[lm.local_layer].capacity * self.pairings_per_point
+            for lm in self.layer_matches
+        )
+
+    def match(
+        self,
+        grids: GridCache,
+        global_map: MetricMap,
+        local_map: MetricMap,
+        pose: Pose,
+        state: MatchState,
+        ctx: MatchContext,
+    ):
+        gate = self.gate(ctx.icp_iteration)
+        blocks = []
+        potential = jnp.asarray(0, jnp.int32)
+        new_local = dict(state.local_paired)
+        new_global = dict(state.global_paired)
+        ang_factor_sq = (jnp.deg2rad(self.threshold_angular_deg)) ** 2
+
+        for lm in self.layer_matches:
+            local = point_layers(local_map)[lm.local_layer]
+            glayer = point_layers(global_map)[lm.global_layer]
+            grid = grids[lm.global_layer]
+            pts, valid = transformed_local(local, pose)
+            potential = potential + (
+                local.count * self.pairings_per_point * gate.astype(jnp.int32)
+            )
+            if not self.allow_match_already_matched_points:
+                valid = valid & ~state.local_paired[lm.local_layer]
+            valid = subsample_mask(valid, local.count, self.max_local_points_per_layer)
+
+            # per-point adaptive threshold: thr^2 + angFactor^2 * |p|^2
+            # (norm of the *transformed* point, as in the reference :151-153)
+            norm_sq = jnp.sum(pts * pts, axis=-1)
+            norm_sq = jnp.where(jnp.isfinite(norm_sq), norm_sq, 0.0)
+            thr_sq = self.threshold**2 + ang_factor_sq * norm_sq
+
+            # search radius must cover the largest per-point threshold; the
+            # grid cell is sized for the base threshold, so the angular term
+            # extends the radius only within the same 27-cell envelope —
+            # exactness degrades gracefully for very long ranges.
+            res = nn_search(
+                grid,
+                pts,
+                valid,
+                k=self.pairings_per_point,
+                k_per_cell=self.k_per_cell,
+                max_radius_sq=thr_sq[:, None],
+            )
+            keep = res.valid
+            if not self.allow_match_already_matched_global_points:
+                gmask = state.global_paired[lm.global_layer]
+                safe = jnp.clip(res.idx, 0, gmask.shape[0] - 1)
+                keep = keep & ~gmask[safe]
+                if self.pairings_per_point == 1:
+                    one2one = resolve_one_to_one(
+                        res.idx, res.dist_sq, keep, glayer.capacity
+                    )
+                    keep = keep & one2one[:, None]
+
+            w = jnp.where(keep, lm.weight * gate, 0.0)  # [Q, k]
+            C = local.capacity
+            k = self.pairings_per_point
+            local_xyz = jnp.repeat(local.xyz, k, axis=0)
+            local_idx = jnp.repeat(
+                jnp.arange(C, dtype=jnp.int32), k, axis=0
+            )
+            gidx = res.idx.reshape(-1)
+            safe_g = jnp.clip(gidx, 0, glayer.capacity - 1)
+            blocks.append(
+                PairsPt2Pt(
+                    local=local_xyz,
+                    globl=glayer.xyz[safe_g],
+                    weight=w.reshape(-1),
+                    local_idx=jnp.where(w.reshape(-1) > 0, local_idx, -1),
+                    global_idx=jnp.where(w.reshape(-1) > 0, gidx, -1),
+                )
+            )
+
+            # update paired masks
+            paired_local = jnp.any(w > 0, axis=-1)
+            if not self.allow_match_already_matched_global_points:
+                new_local[lm.local_layer] = (
+                    state.local_paired[lm.local_layer] | paired_local
+                )
+                # scatter claims into an extended table; invalid rows land in
+                # the dump slot [capacity] and are sliced away
+                wflat = w.reshape(-1) > 0
+                gflat = jnp.where(wflat, safe_g, glayer.capacity)
+                claimed = (
+                    jnp.zeros((glayer.capacity + 1,), bool).at[gflat].max(wflat)
+                )[: glayer.capacity]
+                new_global[lm.global_layer] = (
+                    new_global[lm.global_layer] | claimed
+                )
+
+        pt2pt = PairsPt2Pt(
+            local=jnp.concatenate([b.local for b in blocks]),
+            globl=jnp.concatenate([b.globl for b in blocks]),
+            weight=jnp.concatenate([b.weight for b in blocks]),
+            local_idx=jnp.concatenate([b.local_idx for b in blocks]),
+            global_idx=jnp.concatenate([b.global_idx for b in blocks]),
+        )
+        return (
+            dict(pt2pt=pt2pt),
+            MatchState(local_paired=new_local, global_paired=new_global),
+            potential,
+        )

@@ -86,9 +86,25 @@ def eigh3x3(A: jax.Array):
         v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1), -2)
         v = v.squeeze(-2)
         n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-        # Degenerate (repeated eigenvalue / isotropic): fall back to e_x
-        fallback = jnp.broadcast_to(
-            jnp.array([1.0, 0.0, 0.0], dtype=A.dtype), v.shape
+        # Doubly-degenerate eigenvalue: rank(M) <= 1, all row crosses vanish.
+        # The eigenspace is then the plane orthogonal to the largest row r;
+        # pick any unit vector in it (cross r with a non-parallel axis).
+        rows = jnp.stack([r0, r1, r2], axis=-2)
+        rnorms = jnp.linalg.norm(rows, axis=-1)
+        rbest = jnp.argmax(rnorms, axis=-1)
+        r = jnp.take_along_axis(rows, rbest[..., None, None].repeat(3, -1), -2)
+        r = r.squeeze(-2)
+        ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], A.dtype), r.shape)
+        ey = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], A.dtype), r.shape)
+        perp = jnp.cross(r, ex)
+        perp_n = jnp.linalg.norm(perp, axis=-1, keepdims=True)
+        perp = jnp.where(perp_n > 1e-12, perp, jnp.cross(r, ey))
+        perp = perp / jnp.maximum(
+            jnp.linalg.norm(perp, axis=-1, keepdims=True), _EPS
+        )
+        # Fully isotropic (M ~ 0): any vector is an eigenvector -> e_x.
+        fallback = jnp.where(
+            (rnorms.max(axis=-1) > 1e-12)[..., None], perp, ex
         )
         return jnp.where(n > 1e-10, v / jnp.maximum(n, _EPS), fallback)
 

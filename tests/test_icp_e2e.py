@@ -1,0 +1,173 @@
+"""End-to-end ICP integration tests on real scans.
+
+Mirrors the reference's tests/test-mp2p_icp_algos.cpp (category 3 in
+SURVEY.md §4): Stanford bunny (+ happy buddha), decimation x10, random
+perturbation within +/-15% bbox and +/-10 deg per axis, the full
+{Horn, OLAE, GaussNewton} x {DistanceThreshold, InlierRatio} matrix, and
+the hard bound ||log SE3(gt^-1 est)|| < 0.1 (reference :223).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.icp import ICP, ICPParameters, IterTermReason
+from mp2p_icp_tpu.io.xyz import load_xyz_file
+from mp2p_icp_tpu.matchers import (
+    MatcherPointsDistanceThreshold,
+    MatcherPointsInlierRatio,
+)
+from mp2p_icp_tpu.quality.paired_ratio import QualityPairedRatio
+from mp2p_icp_tpu.solvers.gauss_newton import GNParams
+from mp2p_icp_tpu.solvers.solver import SolverGaussNewton, SolverHorn, SolverOLAE
+
+BUNNY = "/root/reference/demos/bunny_decim.xyz.gz"
+BUDDHA = "/root/reference/demos/happy_buddha_decim.xyz.gz"
+
+
+def random_gt(rng, bbox_size, f=0.15, max_deg=10.0):
+    d = rng.uniform(-f * bbox_size, f * bbox_size)
+    ang = np.deg2rad(rng.uniform(-max_deg, max_deg, 3))
+    return se3.from_xyz_ypr(d[0], d[1], d[2], ang[0], ang[1], ang[2])
+
+
+def make_pair(path, rng, decimation=10):
+    """(local, global, gt): local = global displaced by gt^-1 so that
+    aligning local onto global recovers gt (reference test setup)."""
+    pc = load_xyz_file(path, decimation=decimation)
+    xyz = pc.to_numpy()
+    bbox_size = xyz.max(0) - xyz.min(0)
+    gt = random_gt(rng, bbox_size)
+    local_xyz = np.array(se3.apply(se3.inverse(gt), jnp.asarray(xyz)))
+    from mp2p_icp_tpu.core.pointcloud import PointCloud
+
+    local = {"raw": PointCloud.from_numpy(local_xyz)}
+    globl = {"raw": pc}
+    return local, globl, gt
+
+
+SOLVERS = {
+    "horn": SolverHorn(),
+    "olae": SolverOLAE(),
+    "gn": SolverGaussNewton(gn_params=GNParams(max_iterations=3)),
+}
+MATCHERS = {
+    "dist": MatcherPointsDistanceThreshold(threshold=0.50, k_per_cell=64),
+    "inlier": MatcherPointsInlierRatio(
+        inliers_ratio=0.8, search_radius_hint=0.5, k_per_cell=64
+    ),
+}
+
+
+class TestICPMatrix:
+    @pytest.mark.parametrize("solver", ["horn", "olae", "gn"])
+    @pytest.mark.parametrize("matcher", ["dist", "inlier"])
+    def test_bunny(self, solver, matcher):
+        rng = np.random.RandomState(1234)
+        local, globl, gt = make_pair(BUNNY, rng)
+        icp = ICP(
+            matchers=[MATCHERS[matcher]],
+            solvers=[SOLVERS[solver]],
+            quality_evaluators=[QualityPairedRatio()],
+        )
+        res = icp.align(
+            local, globl, se3.identity(), ICPParameters(max_iterations=100)
+        )
+        err = float(se3.error_log_norm(gt, res.optimal_tf))
+        assert err < 0.1, (
+            f"{solver}/{matcher}: err={err:.4f} "
+            f"iters={int(res.n_iterations)} reason={int(res.termination_reason)}"
+        )
+        assert float(res.quality) > 0.5
+
+    def test_buddha_horn_dist(self):
+        rng = np.random.RandomState(99)
+        local, globl, gt = make_pair(BUDDHA, rng)
+        icp = ICP(matchers=[MATCHERS["dist"]], solvers=[SOLVERS["horn"]])
+        res = icp.align(
+            local, globl, se3.identity(), ICPParameters(max_iterations=100)
+        )
+        assert float(se3.error_log_norm(gt, res.optimal_tf)) < 0.1
+
+
+class TestICPBehaviour:
+    def test_solver_schedule_switch(self):
+        # KITTI-style schedule: Horn iters 0-5, GN from 6
+        rng = np.random.RandomState(7)
+        local, globl, gt = make_pair(BUNNY, rng)
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=0.5, k_per_cell=64)],
+            solvers=[
+                SolverHorn(run_from_iteration=0, run_up_to_iteration=5),
+                SolverGaussNewton(run_from_iteration=6),
+            ],
+        )
+        res = icp.align(local, globl, se3.identity(),
+                        ICPParameters(max_iterations=60))
+        assert float(se3.error_log_norm(gt, res.optimal_tf)) < 0.1
+
+    def test_no_pairings_termination(self):
+        from mp2p_icp_tpu.core.pointcloud import PointCloud
+
+        g = {"raw": PointCloud.from_numpy(np.zeros((4, 3), np.float32))}
+        l = {
+            "raw": PointCloud.from_numpy(
+                np.full((4, 3), 100.0, np.float32)
+            )
+        }
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=0.1)],
+            solvers=[SolverHorn()],
+        )
+        res = icp.align(g_map := g, l_map := l, se3.identity())
+        # maps 100m apart, threshold 0.1 -> no pairings at iter 0
+        assert int(res.termination_reason) == int(IterTermReason.NO_PAIRINGS)
+        assert int(res.n_iterations) == 1
+        # pose unchanged from guess
+        np.testing.assert_allclose(res.optimal_tf.t, 0, atol=0)
+
+    def test_stall_termination_and_covariance(self):
+        rng = np.random.RandomState(3)
+        local, globl, gt = make_pair(BUNNY, rng)
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=0.5, k_per_cell=64)],
+            solvers=[SolverHorn()],
+        )
+        res = icp.align(local, globl, se3.identity(),
+                        ICPParameters(max_iterations=100))
+        assert int(res.termination_reason) in (
+            int(IterTermReason.STALLED),
+            int(IterTermReason.MAX_ITERATIONS),
+        )
+        cov = np.asarray(res.covariance)
+        assert cov.shape == (6, 6)
+        assert np.isfinite(cov).all()
+        # converged registration on 1k points: bounded uncertainty (the
+        # rotation information scales with sum |l|^2 ~ 1000 * 0.01 for the
+        # 0.15 m bunny, so diag(cov) ~ 0.1 at most)
+        assert (np.diag(cov) < 1.0).all()
+        # positive semidefinite-ish: diagonal positive
+        assert (np.diag(cov) > 0).all()
+
+    def test_quality_checkpoint_aborts_bad_runs(self):
+        from mp2p_icp_tpu.core.pointcloud import PointCloud
+
+        rng = np.random.RandomState(5)
+        # unrelated clouds: pairing ratio ~ 0 at checkpoint -> abort
+        g = {"raw": PointCloud.from_numpy(rng.uniform(-1, 1, (256, 3)))}
+        l = {"raw": PointCloud.from_numpy(rng.uniform(50, 52, (256, 3)) )}
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=0.3)],
+            solvers=[SolverHorn()],
+        )
+        res = icp.align(l, g, se3.identity(),
+                        ICPParameters(max_iterations=100,
+                                      quality_checkpoints=((2, 0.05),)))
+        assert int(res.termination_reason) in (
+            int(IterTermReason.NO_PAIRINGS),
+            int(IterTermReason.QUALITY_CHECKPOINT_FAILED),
+        )

@@ -1,0 +1,207 @@
+"""Matcher unit tests with tiny hand-built clouds (reference category 4:
+tests/test-mp2p_matcher_pt2pt.cpp — deterministic point sets, exact pairing
+counts at several poses)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.core.pointcloud import PointCloud
+from mp2p_icp_tpu.matchers import (
+    LayerMatch,
+    MatchContext,
+    MatcherAdaptive,
+    MatcherPoint2Line,
+    MatcherPoint2Plane,
+    MatcherPointsDistanceThreshold,
+    MatcherPointsInlierRatio,
+    MatchState,
+)
+from mp2p_icp_tpu.ops.voxel_hash import build_hash_grid
+
+
+def make_maps(global_pts, local_pts):
+    g = {"raw": PointCloud.from_numpy(np.asarray(global_pts, np.float32))}
+    l = {"raw": PointCloud.from_numpy(np.asarray(local_pts, np.float32))}
+    return g, l
+
+
+def run_matcher(matcher, g, l, pose=None, iteration=0):
+    pose = pose or se3.identity()
+    grids = {
+        name: build_hash_grid(
+            layer.xyz, layer.valid_mask(), cell_size=matcher.search_radius()
+        )
+        for name, layer in g.items()
+    }
+    state = MatchState.create(l, g)
+    ctx = MatchContext(icp_iteration=jnp.asarray(iteration, jnp.int32))
+    return matcher.match(grids, g, l, pose, state, ctx)
+
+
+class TestDistanceThreshold:
+    def test_exact_pairs_identity(self):
+        # global grid of 4 points; local = same points: 4 exact pairs
+        pts = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]]
+        g, l = make_maps(pts, pts)
+        m = MatcherPointsDistanceThreshold(threshold=0.1)
+        blocks, state, potential = run_matcher(m, g, l)
+        assert int(blocks["pt2pt"].count()) == 4
+        assert int(potential) == 4
+        # each local paired to the identical global point
+        w = np.asarray(blocks["pt2pt"].weight)
+        li = np.asarray(blocks["pt2pt"].local_idx)[w > 0]
+        gi = np.asarray(blocks["pt2pt"].global_idx)[w > 0]
+        np.testing.assert_array_equal(sorted(li), sorted(gi))
+
+    def test_threshold_cuts(self):
+        g, l = make_maps([[0, 0, 0], [5, 0, 0]], [[0.05, 0, 0], [5.4, 0, 0]])
+        m = MatcherPointsDistanceThreshold(threshold=0.1)
+        blocks, _, _ = run_matcher(m, g, l)
+        assert int(blocks["pt2pt"].count()) == 1  # only the 0.05 pair
+
+    def test_translation_moves_pairs(self):
+        g, l = make_maps([[1, 0, 0]], [[0, 0, 0]])
+        m = MatcherPointsDistanceThreshold(threshold=0.1)
+        blocks, _, _ = run_matcher(m, g, l)
+        assert int(blocks["pt2pt"].count()) == 0
+        pose = se3.Pose(jnp.eye(3), jnp.array([1.0, 0, 0]))
+        blocks, _, _ = run_matcher(m, g, l, pose=pose)
+        assert int(blocks["pt2pt"].count()) == 1
+        # pairs store the ORIGINAL local point (solver transforms it)
+        w = np.asarray(blocks["pt2pt"].weight)
+        np.testing.assert_allclose(
+            np.asarray(blocks["pt2pt"].local)[w > 0][0], [0, 0, 0], atol=0
+        )
+
+    def test_one_to_one(self):
+        # two locals near one global: only closest keeps it
+        g, l = make_maps([[0, 0, 0]], [[0.01, 0, 0], [0.02, 0, 0]])
+        m = MatcherPointsDistanceThreshold(threshold=0.1)
+        blocks, _, _ = run_matcher(m, g, l)
+        assert int(blocks["pt2pt"].count()) == 1
+
+    def test_allow_shared_global(self):
+        g, l = make_maps([[0, 0, 0]], [[0.01, 0, 0], [0.02, 0, 0]])
+        m = MatcherPointsDistanceThreshold(
+            threshold=0.1, allow_match_already_matched_global_points=True
+        )
+        blocks, _, _ = run_matcher(m, g, l)
+        assert int(blocks["pt2pt"].count()) == 2
+
+    def test_iteration_gating(self):
+        g, l = make_maps([[0, 0, 0]], [[0.01, 0, 0]])
+        m = MatcherPointsDistanceThreshold(
+            threshold=0.1, run_from_iteration=5, run_up_to_iteration=10
+        )
+        for it, expect in [(0, 0), (5, 1), (10, 1), (11, 0)]:
+            blocks, _, _ = run_matcher(m, g, l, iteration=it)
+            assert int(blocks["pt2pt"].count()) == expect, f"iter {it}"
+
+    def test_angular_threshold(self):
+        # far point gets a larger effective threshold
+        g, l = make_maps([[100.0, 0, 0.5]], [[100.0, 0, 0]])
+        tight = MatcherPointsDistanceThreshold(threshold=0.1)
+        blocks, _, _ = run_matcher(tight, g, l)
+        assert int(blocks["pt2pt"].count()) == 0
+        ang = MatcherPointsDistanceThreshold(
+            threshold=0.1, threshold_angular_deg=1.0, k_per_cell=8
+        )
+        blocks, _, _ = run_matcher(ang, g, l)
+        assert int(blocks["pt2pt"].count()) == 1
+
+
+class TestInlierRatio:
+    def test_keeps_best_fraction(self):
+        rng = np.random.RandomState(0)
+        base = rng.uniform(-1, 1, (20, 3))
+        # locals: 10 perfect matches, 10 offset by 0.5
+        local = np.concatenate([base[:10], base[10:] + [[0.5, 0, 0]]])
+        g, l = make_maps(base, local)
+        m = MatcherPointsInlierRatio(inliers_ratio=0.5, search_radius_hint=1.0)
+        blocks, _, _ = run_matcher(m, g, l)
+        w = np.asarray(blocks["pt2pt"].weight)
+        kept_local = np.asarray(blocks["pt2pt"].local_idx)[w > 0]
+        assert len(kept_local) == 10
+        assert set(kept_local.tolist()) == set(range(10))
+
+
+class TestPoint2Line:
+    def test_detects_line(self):
+        # global: points along a straight line; local point near the line
+        t = np.linspace(0, 1, 10)
+        line_pts = np.stack([t, np.zeros_like(t), np.zeros_like(t)], 1)
+        g, l = make_maps(line_pts, [[0.5, 0.05, 0.0]])
+        m = MatcherPoint2Line(distance_threshold=0.5, knn=4,
+                              line_eigen_threshold=0.05)
+        blocks, _, _ = run_matcher(m, g, l)
+        assert int(blocks["pt2ln"].count()) == 1
+        w = np.asarray(blocks["pt2ln"].weight)
+        d = np.asarray(blocks["pt2ln"].line_dir)[w > 0][0]
+        assert abs(abs(d[0]) - 1) < 1e-3  # line along x
+
+    def test_rejects_volume(self):
+        rng = np.random.RandomState(1)
+        blob = rng.uniform(-0.5, 0.5, (30, 3))
+        g, l = make_maps(blob, [[0, 0, 0]])
+        m = MatcherPoint2Line(distance_threshold=1.0, knn=8,
+                              line_eigen_threshold=0.01)
+        blocks, _, _ = run_matcher(m, g, l)
+        assert int(blocks["pt2ln"].count()) == 0
+
+
+class TestPoint2Plane:
+    def test_detects_plane(self):
+        rng = np.random.RandomState(2)
+        plane_pts = np.zeros((40, 3), np.float32)
+        plane_pts[:, :2] = rng.uniform(-1, 1, (40, 2))
+        g, l = make_maps(plane_pts, [[0.0, 0.0, 0.05]])
+        m = MatcherPoint2Plane(distance_threshold=0.8, knn=8,
+                               plane_eigen_threshold=0.01)
+        blocks, _, _ = run_matcher(m, g, l)
+        assert int(blocks["pt2pl"].count()) == 1
+        w = np.asarray(blocks["pt2pl"].weight)
+        n = np.asarray(blocks["pt2pl"].plane_normal)[w > 0][0]
+        assert abs(abs(n[2]) - 1) < 1e-2  # normal along z
+
+
+class TestAdaptive:
+    def test_adaptive_threshold_rejects_outliers(self):
+        rng = np.random.RandomState(3)
+        base = rng.uniform(-2, 2, (50, 3))
+        # 45 locals very close, 5 at ~1.0 offset (outliers)
+        local = base.copy()
+        local[:45] += rng.randn(45, 3) * 0.01
+        local[45:] += [[1.0, 0, 0]]
+        g, l = make_maps(base, local)
+        m = MatcherAdaptive(
+            confidence_interval=0.8,
+            absolute_max_search_distance=2.0,
+            minimum_corr_dist=0.05,
+            max_pt2pt_correspondences=1,
+        )
+        blocks, _, _ = run_matcher(m, g, l)
+        w = np.asarray(blocks["pt2pt"].weight)
+        kept = np.asarray(blocks["pt2pt"].local_idx)[w > 0]
+        # the close locals survive; the 1.0-offset ones are cut
+        assert (kept < 45).all()
+        assert len(kept) >= 40
+
+    def test_plane_detection_path(self):
+        rng = np.random.RandomState(4)
+        plane_pts = np.zeros((60, 3), np.float32)
+        plane_pts[:, :2] = rng.uniform(-1, 1, (60, 2))
+        g, l = make_maps(plane_pts, [[0.1, 0.1, 0.02]])
+        m = MatcherAdaptive(
+            enable_detect_planes=True,
+            plane_search_points=8,
+            plane_minimum_found_points=4,
+            plane_minimum_distance=0.1,
+            plane_eigen_threshold=0.05,
+            absolute_max_search_distance=1.0,
+        )
+        blocks, _, _ = run_matcher(m, g, l)
+        assert int(blocks["pt2pl"].count()) == 1
+        assert int(blocks["pt2pt"].count()) == 0

@@ -1,0 +1,242 @@
+"""Closed-form / iterative solver tests with synthetic geometry.
+
+Mirrors the reference's tests/test-mp2p_optimal_tf_algos.cpp (category 2 in
+SURVEY.md §4): random point sets, random ground-truth SE(3) (including
+large rotations), Gaussian noise, controlled outlier injection with the
+scale-outlier detector / robust kernels, and the RMSE bound
+``min(1.0, 0.2 + 10*sigma_xyz)`` (reference :286).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.core.pairings import (
+    Pairings,
+    PairsPl2Pl,
+    PairsPt2Pl,
+    PairsPt2Pt,
+)
+from mp2p_icp_tpu.solvers import (
+    GNParams,
+    optimal_tf_gauss_newton,
+    optimal_tf_horn,
+    optimal_tf_olae,
+)
+from mp2p_icp_tpu.solvers.common import WeightParameters
+from mp2p_icp_tpu.solvers.gauss_newton import SE3Prior
+from mp2p_icp_tpu.solvers.pt2_conversions import pt2ln_pl_to_pt2pt
+from mp2p_icp_tpu.solvers.robust import RobustKernel
+
+
+def make_pt2pt(rng, gt: se3.Pose, n=100, sigma=0.0, n_outliers=0, cap=128):
+    """Random local points; global = gt ∘ local + noise; optional outliers."""
+    local = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    globl = np.array(se3.apply(gt, jnp.asarray(local)))
+    globl += sigma * rng.randn(n, 3).astype(np.float32)
+    if n_outliers:
+        idx = rng.choice(n, n_outliers, replace=False)
+        globl[idx] += rng.uniform(5, 15, (n_outliers, 3)).astype(np.float32)
+    pairs = PairsPt2Pt.empty(cap)
+    pairs = dataclasses.replace(
+        pairs,
+        local=pairs.local.at[:n].set(local),
+        globl=pairs.globl.at[:n].set(globl),
+        weight=pairs.weight.at[:n].set(1.0),
+        local_idx=pairs.local_idx.at[:n].set(np.arange(n)),
+        global_idx=pairs.global_idx.at[:n].set(np.arange(n)),
+    )
+    p = Pairings.empty(pt2pt_cap=cap)
+    return dataclasses.replace(p, pt2pt=pairs, potential_pairings=jnp.asarray(n))
+
+
+def gt_pose(seed, large_rotation=False):
+    key = jax.random.key(seed)
+    max_angle = 3.1 if large_rotation else 1.0
+    return se3.random_pose(key, max_trans=3.0, max_angle=max_angle)
+
+
+def err_bound(sigma):
+    # reference: tests/test-mp2p_optimal_tf_algos.cpp:286
+    return min(1.0, 0.2 + 10 * sigma)
+
+
+class TestHorn:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_exact(self, seed):
+        gt = gt_pose(seed)
+        p = make_pt2pt(np.random.RandomState(seed), gt, n=50)
+        est = optimal_tf_horn(p)
+        assert float(se3.error_log_norm(gt, est)) < 1e-3
+
+    def test_large_rotation(self):
+        gt = gt_pose(11, large_rotation=True)
+        p = make_pt2pt(np.random.RandomState(3), gt, n=80)
+        est = optimal_tf_horn(p)
+        assert float(se3.error_log_norm(gt, est)) < 1e-3
+
+    @pytest.mark.parametrize("sigma", [0.001, 0.01])
+    def test_noise(self, sigma):
+        gt = gt_pose(21)
+        p = make_pt2pt(np.random.RandomState(5), gt, n=200, sigma=sigma, cap=256)
+        est = optimal_tf_horn(p)
+        assert float(se3.error_log_norm(gt, est)) < err_bound(sigma)
+
+    def test_scale_outlier_detector(self):
+        gt = gt_pose(31)
+        p = make_pt2pt(np.random.RandomState(9), gt, n=100, n_outliers=10, cap=128)
+        wp = WeightParameters(use_scale_outlier_detector=True,
+                              scale_outlier_threshold=1.20)
+        est = optimal_tf_horn(p, wp)
+        base = optimal_tf_horn(p)
+        # detector must improve over the contaminated plain solve
+        assert float(se3.error_log_norm(gt, est)) < float(
+            se3.error_log_norm(gt, base)
+        )
+        assert float(se3.error_log_norm(gt, est)) < 0.3
+
+    def test_jit(self):
+        gt = gt_pose(41)
+        p = make_pt2pt(np.random.RandomState(2), gt, n=64)
+        est = jax.jit(optimal_tf_horn)(p)
+        assert float(se3.error_log_norm(gt, est)) < 1e-3
+
+
+class TestOLAE:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_exact(self, seed):
+        gt = gt_pose(seed + 100)
+        p = make_pt2pt(np.random.RandomState(seed), gt, n=50)
+        est = optimal_tf_olae(p)
+        assert float(se3.error_log_norm(gt, est)) < 2e-3
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_large_rotation_near_pi(self, seed):
+        # Gibbs vector singularity at theta=pi — the sequential-rotation
+        # alternates must kick in.
+        key = jax.random.key(seed + 500)
+        axis = jax.random.normal(key, (3,))
+        axis = axis / jnp.linalg.norm(axis)
+        gt = se3.Pose(se3.so3_exp(axis * (np.pi - 0.01)), jnp.array([1.0, -2.0, 0.5]))
+        p = make_pt2pt(np.random.RandomState(seed), gt, n=60)
+        est = optimal_tf_olae(p)
+        assert float(se3.error_log_norm(gt, est)) < 2e-3
+
+    @pytest.mark.parametrize("sigma", [0.001, 0.01])
+    def test_noise(self, sigma):
+        gt = gt_pose(23)
+        p = make_pt2pt(np.random.RandomState(6), gt, n=200, sigma=sigma, cap=256)
+        est = optimal_tf_olae(p)
+        assert float(se3.error_log_norm(gt, est)) < err_bound(sigma)
+
+
+class TestGaussNewton:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_pt2pt_converges(self, seed):
+        gt = gt_pose(seed + 200, large_rotation=False)
+        p = make_pt2pt(np.random.RandomState(seed), gt, n=80)
+        # start from a perturbed pose
+        guess = se3.compose(gt, se3.exp(jnp.array([0.1, -0.1, 0.05, 0.05, -0.02, 0.03])))
+        est = optimal_tf_gauss_newton(p, guess, GNParams(max_iterations=10))
+        assert float(se3.error_log_norm(gt, est)) < 1e-3
+
+    def test_pt2pl(self):
+        # reference behavioural test: GN recovers pose from plane constraints
+        # (tests/test-mp2p_optimize_pt2pl.cpp)
+        rng = np.random.RandomState(4)
+        gt = gt_pose(301)
+        n, cap = 60, 64
+        # synth planes: random centroids+normals; local = gt^-1(point on plane)
+        normals = rng.randn(n, 3).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        centroids = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+        local = np.asarray(se3.apply(se3.inverse(gt), jnp.asarray(centroids)))
+        pairs = PairsPt2Pl.empty(cap)
+        pairs = dataclasses.replace(
+            pairs,
+            local=pairs.local.at[:n].set(local),
+            plane_centroid=pairs.plane_centroid.at[:n].set(centroids),
+            plane_normal=pairs.plane_normal.at[:n].set(normals),
+            weight=pairs.weight.at[:n].set(1.0),
+        )
+        p = dataclasses.replace(Pairings.empty(pt2pl_cap=cap), pt2pl=pairs)
+        guess = se3.compose(gt, se3.exp(jnp.array([0.2, -0.1, 0.1, 0.08, -0.03, 0.05])))
+        est = optimal_tf_gauss_newton(p, guess, GNParams(max_iterations=15))
+        assert float(se3.error_log_norm(gt, est)) < 5e-3
+
+    def test_robust_kernel_outliers(self):
+        gt = gt_pose(401)
+        p = make_pt2pt(np.random.RandomState(8), gt, n=100, sigma=0.01,
+                       n_outliers=15, cap=128)
+        guess = se3.compose(gt, se3.exp(jnp.array([0.05, 0.05, 0.0, 0.02, 0.0, -0.02])))
+        params = GNParams(max_iterations=20, kernel=RobustKernel.GEMAN_MCCLURE,
+                          kernel_param=0.5)
+        est = optimal_tf_gauss_newton(p, guess, params)
+        plain = optimal_tf_gauss_newton(p, guess, GNParams(max_iterations=20))
+        assert float(se3.error_log_norm(gt, est)) < float(se3.error_log_norm(gt, plain))
+        assert float(se3.error_log_norm(gt, est)) < 0.15
+
+    def test_prior_pins_solution(self):
+        # reference: tests/test-mp2p_optimize_with_prior.cpp:71-105 — a prior
+        # with large information on selected coordinates pins them.
+        gt = gt_pose(501)
+        p = make_pt2pt(np.random.RandomState(10), gt, n=50, sigma=0.05, cap=64)
+        prior_mean = se3.compose(gt, se3.exp(jnp.array([0.5, 0, 0, 0, 0, 0])))
+        inf = jnp.diag(jnp.array([1e6, 1e-6, 1e-6, 1e-6, 1e-6, 1e-6]))
+        prior = SE3Prior(mean=prior_mean, inv_cov=inf)
+        est = optimal_tf_gauss_newton(p, gt, GNParams(max_iterations=20), prior=prior)
+        # the x coordinate (in the prior's frame) must be pulled to the prior
+        delta = se3.log(se3.compose(se3.inverse(prior_mean), est))
+        assert abs(float(delta[0])) < 0.05
+
+    def test_pl2pl_attitude(self):
+        # plane-normal pairs constrain rotation only; translation from pt2pt
+        rng = np.random.RandomState(11)
+        gt = gt_pose(601)
+        n, cap = 20, 32
+        nl = rng.randn(n, 3).astype(np.float32)
+        nl /= np.linalg.norm(nl, axis=1, keepdims=True)
+        ng = np.asarray(se3.rotate(gt, jnp.asarray(nl)))
+        plpairs = PairsPl2Pl.empty(cap)
+        plpairs = dataclasses.replace(
+            plpairs,
+            local_normal=plpairs.local_normal.at[:n].set(nl),
+            global_normal=plpairs.global_normal.at[:n].set(ng),
+            weight=plpairs.weight.at[:n].set(1.0),
+        )
+        p = make_pt2pt(rng, gt, n=10, cap=16)
+        p = dataclasses.replace(p, pl2pl=plpairs)
+        guess = se3.compose(gt, se3.exp(jnp.array([0.1, 0, 0, 0.05, -0.05, 0.02])))
+        est = optimal_tf_gauss_newton(p, guess, GNParams(max_iterations=15))
+        assert float(se3.error_log_norm(gt, est)) < 5e-3
+
+
+class TestPt2Conversions:
+    def test_pt2pl_to_virtual_pt2pt(self):
+        rng = np.random.RandomState(12)
+        gt = gt_pose(701)
+        n, cap = 40, 64
+        normals = rng.randn(n, 3).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        centroids = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        local = np.asarray(se3.apply(se3.inverse(gt), jnp.asarray(centroids)))
+        pairs = PairsPt2Pl.empty(cap)
+        pairs = dataclasses.replace(
+            pairs,
+            local=pairs.local.at[:n].set(local),
+            plane_centroid=pairs.plane_centroid.at[:n].set(centroids),
+            plane_normal=pairs.plane_normal.at[:n].set(normals),
+            weight=pairs.weight.at[:n].set(1.0),
+        )
+        p = dataclasses.replace(Pairings.empty(pt2pl_cap=cap), pt2pl=pairs)
+        guess = se3.compose(gt, se3.exp(jnp.array([0.1, -0.05, 0.02, 0.04, 0.0, -0.03])))
+        conv = pt2ln_pl_to_pt2pt(p, guess)
+        assert int(conv.pt2pt.count()) >= 3
+        assert int(conv.pt2pl.count()) == 0
+        # Horn on the converted pairs should improve towards gt from guess
+        est = optimal_tf_horn(conv)
+        assert float(se3.error_log_norm(gt, est)) < float(se3.error_log_norm(gt, guess))

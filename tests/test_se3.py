@@ -135,6 +135,30 @@ class TestYPR:
         )
 
 
+class TestSE3Jacobians:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_right_jacobian_inv_vs_finite_diff(self, seed):
+        # J = d log(T exp(eps)) / d eps at eps=0 where T = exp(xi):
+        # equals Jr^-1(xi). Check by central finite differences.
+        k = jax.random.key(seed + 70)
+        xi = jax.random.uniform(k, (6,), minval=-0.8, maxval=0.8)
+        T = se3.exp(xi)
+        J = se3.se3_right_jacobian_inv(xi)
+        h = 1e-3
+        J_fd = np.zeros((6, 6), np.float32)
+        for i in range(6):
+            e = np.zeros(6, np.float32)
+            e[i] = h
+            lp = se3.log(se3.compose(T, se3.exp(jnp.asarray(e))))
+            lm = se3.log(se3.compose(T, se3.exp(jnp.asarray(-e))))
+            J_fd[:, i] = np.asarray(lp - lm) / (2 * h)
+        np.testing.assert_allclose(J, J_fd, atol=5e-3)
+
+    def test_right_jacobian_inv_identity(self):
+        J = se3.se3_right_jacobian_inv(jnp.zeros(6))
+        np.testing.assert_allclose(J, np.eye(6), atol=1e-6)
+
+
 class TestDeltaNorms:
     def test_translation_delta(self):
         a = se3.identity()
