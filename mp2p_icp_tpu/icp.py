@@ -137,17 +137,48 @@ class ICP:
             for name, size in self._grid_cell_sizes().items()
         }
 
+    def _bucket_occupancy_host(self, g_layers) -> Dict[str, int]:
+        """Max hash-bucket occupancy per global layer, computed host-side in
+        numpy (one small D2H transfer; avoids a device sync on the jit path)."""
+        import numpy as np
+
+        from mp2p_icp_tpu.ops import voxel_hash as vh
+
+        occ = {}
+        for name, size in self._grid_cell_sizes().items():
+            layer = g_layers[name]
+            xyz = np.asarray(layer.xyz)
+            n = int(layer.count)
+            if n == 0:
+                occ[name] = 8
+                continue
+            cells = np.floor(xyz[:n] / size).astype(np.int64)
+            H = vh._table_size_for(layer.capacity)
+            h = (
+                (cells[:, 0] * vh._HX) ^ (cells[:, 1] * vh._HY)
+                ^ (cells[:, 2] * vh._HZ)
+            ) & (H - 1)
+            occ[name] = int(np.bincount(h, minlength=1).max())
+        return occ
+
     def _effective_matchers(self, grids):
+        """Auto-raise each matcher's k_per_cell to the observed max bucket
+        occupancy (device-array grids variant, used by parallel.batch)."""
+        occ = {
+            name: int(jnp.max(g.bucket_count)) for name, g in grids.items()
+        }
+        return self._adjust_matchers(occ)
+
+    def _effective_matchers_host(self, g_layers):
         """Auto-raise each matcher's k_per_cell to the observed max bucket
         occupancy (rounded to a power of two, capped) so dense buckets are
         never truncated — e.g. a search radius much larger than the cloud
         (the bunny test: threshold 0.5 m vs a 0.15 m object) would otherwise
-        starve the one-to-one matching. Host-side; becomes part of the jit
-        cache key."""
-        occ = {
-            name: int(jnp.max(g.bucket_count)) for name, g in grids.items()
-        }
+        starve the one-to-one matching. Host-side numpy; becomes part of the
+        jit cache key (stable across frames after pow2 rounding)."""
+        return self._adjust_matchers(self._bucket_occupancy_host(g_layers))
 
+    def _adjust_matchers(self, occ: Dict[str, int]):
         def pow2(n):
             p = 8
             while p < n:
@@ -235,8 +266,7 @@ class ICP:
         l_layers = point_layers(local_map)
         if not g_layers or not l_layers:
             raise ValueError("empty input maps")
-        grids = self.build_grids(g_layers)
-        matchers = self._effective_matchers(grids)
+        matchers = self._effective_matchers_host(g_layers)
         key = (
             params,
             matchers,
@@ -246,9 +276,17 @@ class ICP:
         )
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
-                functools.partial(self._align_core, params, matchers)
+                functools.partial(self._align_full, params, matchers)
             )
-        return self._jit_cache[key](grids, g_layers, l_layers, guess, prior)
+        return self._jit_cache[key](g_layers, l_layers, guess, prior)
+
+    def _align_full(self, params, matchers, g_layers, l_layers, guess, prior):
+        """Single fused program: grid build + the whole ICP loop + quality +
+        covariance. One device dispatch per align — no per-call eager ops or
+        host syncs (those dominated wall time through the TPU tunnel)."""
+        grids = self.build_grids(g_layers)
+        return self._align_core(params, matchers, grids, g_layers, l_layers,
+                                guess, prior)
 
     def _align_core(self, params, matchers, grids, g_layers, l_layers, guess, prior):
         eps_t = params.min_abs_step_trans

@@ -1,0 +1,454 @@
+"""YAML pipeline configuration — reference-compatible schema.
+
+Reference parity: mp2p_icp/src/icp_pipeline_from_yaml.cpp:26-77 and
+mp2p_icp_filters/src/FilterBase.cpp:51 (filter_pipeline_from_yaml) — the
+same YAML files that drive the reference's ``icp-run`` / ``sm2mm`` drive
+this framework: reference class names (``mp2p_icp::Solver_GaussNewton``,
+``mp2p_icp_filters::FilterDecimateVoxels`` ...) and their camelCase
+parameter names are translated to the TPU-native modules by the registry
+below. The reference's RTTI string factory (ICP.cpp:486-557) becomes a
+plain dict; its ``MCP_LOAD_REQ/OPT`` macros become per-class param maps.
+
+Numeric parameters may be expressions (``$f{...}``) over variables
+(core.params), constant-folded at load time.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import yaml as _yaml
+
+from mp2p_icp_tpu.core.params import resolve_value
+from mp2p_icp_tpu.filters import (
+    DecimateMethod,
+    FilterAdjustTimestamps,
+    FilterBoundingBox,
+    FilterByIntensity,
+    FilterByRange,
+    FilterByRing,
+    FilterDecimateVoxels,
+    FilterDeleteLayer,
+    FilterDeskew,
+    FilterMerge,
+    FilterNormalizeIntensity,
+)
+from mp2p_icp_tpu.filters.adjust_timestamps import TimestampAdjustMethod
+from mp2p_icp_tpu.icp import ICP, ICPParameters
+from mp2p_icp_tpu.matchers import (
+    LayerMatch,
+    MatcherAdaptive,
+    MatcherPoint2Line,
+    MatcherPoint2Plane,
+    MatcherPointsDistanceThreshold,
+    MatcherPointsInlierRatio,
+)
+from mp2p_icp_tpu.quality.paired_ratio import QualityPairedRatio
+from mp2p_icp_tpu.quality.range_image import QualityRangeImageSimilarity
+from mp2p_icp_tpu.quality.voxels import QualityVoxels
+from mp2p_icp_tpu.solvers.common import PairWeights, WeightParameters
+from mp2p_icp_tpu.solvers.gauss_newton import GNParams
+from mp2p_icp_tpu.solvers.robust import RobustKernel
+from mp2p_icp_tpu.solvers.solver import SolverGaussNewton, SolverHorn, SolverOLAE
+
+
+def _short(name: str) -> str:
+    return name.split("::")[-1]
+
+
+def _num(v, variables=None):
+    return resolve_value(v, variables)
+
+
+def _layer_matches(params: dict) -> Tuple[LayerMatch, ...]:
+    entries = params.get("pointLayerMatches")
+    if not entries:
+        return (LayerMatch(),)
+    return tuple(
+        LayerMatch(
+            global_layer=e.get("global", "raw"),
+            local_layer=e.get("local", "raw"),
+            weight=float(e.get("weight", 1.0)),
+        )
+        for e in entries
+    )
+
+
+def _gating(params: dict) -> dict:
+    return dict(
+        enabled=bool(params.get("enabled", True)),
+        run_from_iteration=int(_num(params.get("runFromIteration", 0))),
+        run_up_to_iteration=int(_num(params.get("runUpToIteration", 0))),
+    )
+
+
+# ---------------------------------------------------------------- matchers
+def _build_matcher_distance_threshold(p: dict):
+    return MatcherPointsDistanceThreshold(
+        threshold=float(_num(p.get("threshold", 0.50))),
+        threshold_angular_deg=float(_num(p.get("thresholdAngularDeg", 0.0))),
+        pairings_per_point=int(_num(p.get("pairingsPerPoint", 1))),
+        max_local_points_per_layer=int(_num(p.get("maxLocalPointsPerLayer", 0))),
+        allow_match_already_matched_global_points=bool(
+            p.get("allowMatchAlreadyMatchedGlobalPoints", False)
+        ),
+        allow_match_already_matched_points=bool(
+            p.get("allowMatchAlreadyMatchedPoints", False)
+        ),
+        layer_matches=_layer_matches(p),
+        **_gating(p),
+    )
+
+
+def _build_matcher_inlier_ratio(p: dict):
+    return MatcherPointsInlierRatio(
+        inliers_ratio=float(_num(p.get("inliersRatio", 0.80))),
+        max_local_points_per_layer=int(_num(p.get("maxLocalPointsPerLayer", 0))),
+        layer_matches=_layer_matches(p),
+        **_gating(p),
+    )
+
+
+def _build_matcher_point2line(p: dict):
+    return MatcherPoint2Line(
+        distance_threshold=float(_num(p.get("distanceThreshold", 0.40))),
+        knn=int(_num(p.get("knn", 4))),
+        line_eigen_threshold=float(_num(p.get("lineEigenThreshold", 0.01))),
+        min_points_to_fit=int(_num(p.get("minimumLinePoints", 4))),
+        layer_matches=_layer_matches(p),
+        **_gating(p),
+    )
+
+
+def _build_matcher_point2plane(p: dict):
+    return MatcherPoint2Plane(
+        distance_threshold=float(_num(p.get("distanceThreshold", 0.40))),
+        knn=int(_num(p.get("knn", 7))),
+        plane_eigen_threshold=float(_num(p.get("planeEigenThreshold", 0.01))),
+        min_points_to_fit=int(_num(p.get("minimumPlanePoints", 4))),
+        layer_matches=_layer_matches(p),
+        **_gating(p),
+    )
+
+
+def _build_matcher_adaptive(p: dict):
+    return MatcherAdaptive(
+        confidence_interval=float(_num(p.get("confidenceInterval", 0.80))),
+        first_to_second_distance_max=float(
+            _num(p.get("firstToSecondDistanceMax", 1.2))
+        ),
+        absolute_max_search_distance=float(
+            _num(p.get("absoluteMaxSearchDistance", 5.0))
+        ),
+        minimum_corr_dist=float(_num(p.get("minimumCorrDist", 0.1))),
+        enable_detect_planes=bool(p.get("enableDetectPlanes", False)),
+        plane_search_points=int(_num(p.get("planeSearchPoints", 8))),
+        plane_minimum_found_points=int(
+            _num(p.get("planeMinimumFoundPoints", 4))
+        ),
+        plane_minimum_distance=float(_num(p.get("planeMinimumDistance", 0.10))),
+        plane_eigen_threshold=float(_num(p.get("planeEigenThreshold", 0.01))),
+        max_pt2pt_correspondences=int(
+            _num(p.get("maxPt2PtCorrespondences", 3))
+        ),
+        layer_matches=_layer_matches(p),
+        **_gating(p),
+    )
+
+
+_MATCHERS: Dict[str, Callable] = {
+    "Matcher_Points_DistanceThreshold": _build_matcher_distance_threshold,
+    "Matcher_Points_InlierRatio": _build_matcher_inlier_ratio,
+    "Matcher_Point2Line": _build_matcher_point2line,
+    "Matcher_Point2Plane": _build_matcher_point2plane,
+    "Matcher_Adaptive": _build_matcher_adaptive,
+}
+
+
+# ----------------------------------------------------------------- solvers
+def _pair_weights(p: dict) -> PairWeights:
+    pw = p.get("pairWeights", {}) or {}
+    return PairWeights(
+        pt2pt=float(pw.get("pt2pt", 1.0)),
+        pt2ln=float(pw.get("pt2ln", 1.0)),
+        pt2pl=float(pw.get("pt2pl", 1.0)),
+        ln2ln=float(pw.get("ln2ln", 1.0)),
+        pl2pl=float(pw.get("pl2pl", 1.0)),
+    )
+
+
+def _weight_params(p: dict) -> WeightParameters:
+    return WeightParameters(
+        use_scale_outlier_detector=bool(p.get("use_scale_outlier_detector", False)),
+        scale_outlier_threshold=float(
+            _num(p.get("scale_outlier_threshold", 1.20))
+        ),
+        pair_weights=_pair_weights(p),
+        robust_kernel=RobustKernel.from_string(str(p.get("robustKernel", "None"))),
+        robust_kernel_param=float(_num(p.get("robustKernelParam", 1.0))),
+    )
+
+
+def _solver_gating(p: dict) -> dict:
+    g = _gating(p)
+    g["run_until_translation_correction_smaller_than"] = float(
+        _num(p.get("runUntilTranslationCorrectionSmallerThan", 0.0))
+    )
+    return g
+
+
+def _build_solver_horn(p: dict):
+    return SolverHorn(weight_params=_weight_params(p), **_solver_gating(p))
+
+
+def _build_solver_olae(p: dict):
+    return SolverOLAE(weight_params=_weight_params(p), **_solver_gating(p))
+
+
+def _build_solver_gn(p: dict):
+    return SolverGaussNewton(
+        gn_params=GNParams(
+            max_iterations=int(_num(p.get("maxIterations", 3))),
+            min_delta=float(_num(p.get("innerLoopMinDelta", 1e-7))),
+            kernel=RobustKernel.from_string(str(p.get("robustKernel", "None"))),
+            kernel_param=float(_num(p.get("robustKernelParam", 1.0))),
+            pair_weights=_pair_weights(p),
+        ),
+        **_solver_gating(p),
+    )
+
+
+_SOLVERS: Dict[str, Callable] = {
+    "Solver_Horn": _build_solver_horn,
+    "Solver_OLAE": _build_solver_olae,
+    "Solver_GaussNewton": _build_solver_gn,
+}
+
+
+# ----------------------------------------------------------------- quality
+def _build_quality_paired_ratio(p: dict):
+    matcher = None
+    if not bool(p.get("reuse_icp_pairings", True)):
+        mp = dict(p)
+        mp.setdefault("allowMatchAlreadyMatchedGlobalPoints", True)
+        matcher = _build_matcher_distance_threshold(mp)
+    return QualityPairedRatio(
+        reuse_icp_pairings=bool(p.get("reuse_icp_pairings", True)),
+        absolute_minimum_pairing_ratio=float(
+            _num(p.get("absolute_minimum_pairing_ratio", 0.0))
+        ),
+        matcher=matcher,
+    )
+
+
+_QUALITY: Dict[str, Callable] = {
+    "QualityEvaluator_PairedRatio": _build_quality_paired_ratio,
+    "QualityEvaluator_Voxels": lambda p: QualityVoxels(),
+    "QualityEvaluator_RangeImageSimilarity": lambda p: QualityRangeImageSimilarity(),
+}
+
+
+# ------------------------------------------------------------------ filters
+def _build_filter_decimate(p: dict, variables=None):
+    inputs = p.get("input_pointcloud_layer", "raw")
+    if isinstance(inputs, str):
+        inputs = (inputs,)
+    else:
+        inputs = tuple(inputs)
+    return FilterDecimateVoxels(
+        input_pointcloud_layer=inputs,
+        output_pointcloud_layer=p.get("output_pointcloud_layer", "decimated"),
+        voxel_filter_resolution=float(
+            _num(p.get("voxel_filter_resolution", 1.0), variables)
+        ),
+        decimate_method=DecimateMethod.from_string(
+            str(p.get("decimate_method", "DecimateMethod::FirstPoint"))
+        ),
+        flatten_to=(
+            float(_num(p["flatten_to"], variables)) if "flatten_to" in p else None
+        ),
+        minimum_input_points_to_filter=int(
+            _num(p.get("minimum_input_points_to_filter", 0), variables)
+        ),
+    )
+
+
+def _build_filter_by_range(p: dict, variables=None):
+    return FilterByRange(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        output_layer_between=p.get("output_layer_between"),
+        output_layer_outside=p.get("output_layer_outside"),
+        range_min=float(_num(p.get("range_min", 0.0), variables)),
+        range_max=float(_num(p.get("range_max", 100.0), variables)),
+    )
+
+
+def _build_filter_bbox(p: dict, variables=None):
+    def v3(key, default):
+        v = p.get(key, default)
+        return tuple(float(_num(x, variables)) for x in v)
+
+    return FilterBoundingBox(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        inside_pointcloud_layer=p.get("inside_pointcloud_layer"),
+        outside_pointcloud_layer=p.get("outside_pointcloud_layer"),
+        bbox_min=v3("bounding_box_min", (-1.0, -1.0, -1.0)),
+        bbox_max=v3("bounding_box_max", (1.0, 1.0, 1.0)),
+    )
+
+
+def _build_filter_deskew(p: dict, variables=None):
+    return FilterDeskew(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        output_pointcloud_layer=p.get("output_pointcloud_layer", "deskewed"),
+        silently_ignore_no_timestamps=bool(
+            p.get("silently_ignore_no_timestamps", False)
+        ),
+    )
+
+
+def _build_filter_merge(p: dict, variables=None):
+    return FilterMerge(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        target_layer=p.get("target_layer", "map"),
+        use_robot_pose="robot_pose" in p or bool(p.get("use_robot_pose", True)),
+    )
+
+
+def _build_filter_delete(p: dict, variables=None):
+    layers = p.get("pointcloud_layer_to_remove", ())
+    if isinstance(layers, str):
+        layers = (layers,)
+    return FilterDeleteLayer(
+        pointcloud_layer_to_remove=tuple(layers),
+        error_on_missing_input_layer=bool(
+            p.get("error_on_missing_input_layer", True)
+        ),
+    )
+
+
+_FILTERS: Dict[str, Callable] = {
+    "FilterDecimateVoxels": _build_filter_decimate,
+    "FilterByRange": _build_filter_by_range,
+    "FilterBoundingBox": _build_filter_bbox,
+    "FilterDeskew": _build_filter_deskew,
+    "FilterMerge": _build_filter_merge,
+    "FilterDeleteLayer": _build_filter_delete,
+    "FilterByRing": lambda p, variables=None: FilterByRing(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        output_layer_selected=p.get("output_layer_selected"),
+        output_layer_non_selected=p.get("output_layer_non_selected"),
+        selected_ring_ids=tuple(p.get("selected_ring_ids", ())),
+    ),
+    "FilterByIntensity": lambda p, variables=None: FilterByIntensity(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        output_layer_low_intensity=p.get("output_layer_low_intensity"),
+        output_layer_mid_intensity=p.get("output_layer_mid_intensity"),
+        output_layer_high_intensity=p.get("output_layer_high_intensity"),
+        low_threshold=float(_num(p.get("low_threshold", 0.10))),
+        high_threshold=float(_num(p.get("high_threshold", 0.90))),
+    ),
+    "FilterNormalizeIntensity": lambda p, variables=None: FilterNormalizeIntensity(
+        pointcloud_layer=p.get("pointcloud_layer", "raw"),
+    ),
+    "FilterAdjustTimestamps": lambda p, variables=None: FilterAdjustTimestamps(
+        pointcloud_layer=p.get("pointcloud_layer", "raw"),
+        method=TimestampAdjustMethod.from_string(
+            str(p.get("method", "TimestampAdjustMethod::MiddleIsZero"))
+        ),
+        time_offset=float(_num(p.get("time_offset", 0.0))),
+        silently_ignore_no_timestamps=bool(
+            p.get("silently_ignore_no_timestamps", False)
+        ),
+    ),
+}
+
+
+# --------------------------------------------------------------- public API
+def icp_pipeline_from_yaml(
+    cfg: dict,
+) -> Tuple[ICP, ICPParameters]:
+    """Build (ICP, ICPParameters) from a reference-schema YAML dict
+    (reference: icp_pipeline_from_yaml.cpp:26-77)."""
+    class_name = _short(str(cfg.get("class_name", "ICP")))
+    if class_name not in ("ICP", "ICP_LibPointmatcher"):
+        raise ValueError(f"Unknown ICP class: {class_name}")
+
+    p = cfg.get("params", {}) or {}
+    checkpoints = tuple(
+        sorted(
+            (int(k), float(v))
+            for k, v in (p.get("quality_checkpoints", {50: 0.05, 100: 0.10}) or {}).items()
+        )
+    )
+    params = ICPParameters(
+        max_iterations=int(_num(p.get("maxIterations", 40))),
+        min_abs_step_trans=float(_num(p.get("minAbsStep_trans", 5e-4))),
+        min_abs_step_rot=float(_num(p.get("minAbsStep_rot", 1e-4))),
+        quality_checkpoints=checkpoints,
+        debug_print_iteration_progress=bool(
+            p.get("debugPrintIterationProgress", False)
+        ),
+    )
+
+    def build_list(section, registry, kind):
+        out = []
+        for entry in cfg.get(section, []) or []:
+            cls = _short(str(entry.get("class")))
+            if cls not in registry:
+                raise ValueError(f"Unknown {kind} class: {cls}")
+            params_dict = entry.get("params", {}) or {}
+            if params_dict is None or params_dict == "~":
+                params_dict = {}
+            out.append(registry[cls](params_dict))
+        return out
+
+    matchers = build_list("matchers", _MATCHERS, "matcher")
+    solvers = build_list("solvers", _SOLVERS, "solver")
+    quality = build_list("quality", _QUALITY, "quality evaluator")
+    if not quality:
+        quality = [QualityPairedRatio()]
+
+    icp = ICP(matchers=matchers, solvers=solvers, quality_evaluators=quality)
+    return icp, params
+
+
+def filter_pipeline_from_yaml(entries, variables=None):
+    """Build a filter list from the reference schema: a list of
+    {class_name, params} (reference: FilterBase.cpp:51)."""
+    out = []
+    for entry in entries or []:
+        cls = _short(str(entry.get("class_name") or entry.get("class")))
+        if cls not in _FILTERS:
+            raise ValueError(f"Unknown filter class: {cls}")
+        p = entry.get("params", {}) or {}
+        out.append(_FILTERS[cls](p, variables))
+    return out
+
+
+def icp_pipeline_from_yaml_file(path: str):
+    with open(path) as f:
+        return icp_pipeline_from_yaml(_yaml.safe_load(f))
+
+
+def filter_pipeline_from_yaml_file(path: str, section: Optional[str] = None,
+                                   variables=None):
+    with open(path) as f:
+        cfg = _yaml.safe_load(f)
+    if section:
+        cfg = cfg.get(section, [])
+    return filter_pipeline_from_yaml(cfg, variables)
+
+
+def load_icp_config_file(path: str):
+    """Full icp-run-style config: (icp, params, filters dict by section)."""
+    with open(path) as f:
+        cfg = _yaml.safe_load(f)
+    icp, params = icp_pipeline_from_yaml(cfg)
+    sections = {}
+    for sec in ("filters", "filters_local_map", "filters_global_map",
+                "generators", "final_filters"):
+        if sec in cfg and sec != "generators":
+            sections[sec] = filter_pipeline_from_yaml(cfg[sec])
+    return icp, params, sections

@@ -1,0 +1,257 @@
+"""Filter pipeline tests (reference: mp2p_icp_filters behaviors)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.core.pointcloud import PointCloud
+from mp2p_icp_tpu.filters import (
+    DecimateMethod,
+    FilterAdjustTimestamps,
+    FilterBoundingBox,
+    FilterByIntensity,
+    FilterByRange,
+    FilterByRing,
+    FilterDecimateVoxels,
+    FilterDeleteLayer,
+    FilterDeskew,
+    FilterMerge,
+    FilterNormalizeIntensity,
+    apply_filter_pipeline,
+)
+from mp2p_icp_tpu.filters.adjust_timestamps import TimestampAdjustMethod
+
+
+def cloud(xyz, **kw):
+    return PointCloud.from_numpy(np.asarray(xyz, np.float32), **kw)
+
+
+class TestDecimateVoxels:
+    def grid_cloud(self):
+        # 4 distinct voxels at res=1.0, with multiple points per voxel
+        pts = [
+            [0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [0.3, 0.1, 0.4],  # voxel (0,0,0)
+            [1.5, 0.5, 0.5], [1.6, 0.4, 0.3],                   # voxel (1,0,0)
+            [0.5, 1.5, 0.5],                                    # voxel (0,1,0)
+            [2.5, 2.5, 2.5],                                    # voxel (2,2,2)
+        ]
+        return cloud(pts)
+
+    @pytest.mark.parametrize("method", list(DecimateMethod))
+    def test_voxel_count(self, method):
+        f = FilterDecimateVoxels(
+            voxel_filter_resolution=1.0, decimate_method=method
+        )
+        out = f({"raw": self.grid_cloud()})
+        assert int(out["decimated"].count) == 4
+
+    def test_first_point_picks_lowest_index(self):
+        f = FilterDecimateVoxels(
+            voxel_filter_resolution=1.0,
+            decimate_method=DecimateMethod.FIRST_POINT,
+        )
+        out = f({"raw": self.grid_cloud()})
+        pts = out["decimated"].to_numpy()
+        # first point of voxel (0,0,0) is [0.1, 0.1, 0.1]
+        assert any(np.allclose(p, [0.1, 0.1, 0.1]) for p in pts)
+        # first point of voxel (1,0,0) is [1.5, 0.5, 0.5]
+        assert any(np.allclose(p, [1.5, 0.5, 0.5]) for p in pts)
+
+    def test_voxel_average(self):
+        f = FilterDecimateVoxels(
+            voxel_filter_resolution=1.0,
+            decimate_method=DecimateMethod.VOXEL_AVERAGE,
+        )
+        out = f({"raw": self.grid_cloud()})
+        pts = out["decimated"].to_numpy()
+        expect = np.mean([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [0.3, 0.1, 0.4]], 0)
+        assert any(np.allclose(p, expect, atol=1e-5) for p in pts)
+
+    def test_closest_to_average_is_real_point(self):
+        src = self.grid_cloud()
+        f = FilterDecimateVoxels(
+            voxel_filter_resolution=1.0,
+            decimate_method=DecimateMethod.CLOSEST_TO_AVERAGE,
+        )
+        out = f({"raw": src})
+        src_pts = src.to_numpy()
+        for p in out["decimated"].to_numpy():
+            assert any(np.allclose(p, q, atol=1e-6) for q in src_pts)
+
+    def test_flatten_to(self):
+        f = FilterDecimateVoxels(
+            voxel_filter_resolution=1.0, flatten_to=0.0,
+            decimate_method=DecimateMethod.VOXEL_AVERAGE,
+        )
+        out = f({"raw": self.grid_cloud()})
+        pts = out["decimated"].to_numpy()
+        np.testing.assert_allclose(pts[:, 2], 0.0, atol=1e-6)
+        # (0,0,0) & z-collapsed: voxels distinct in x,y only -> 4 in xy? cells
+        # (0,0),(1,0),(0,1),(2,2) -> 4
+        assert int(out["decimated"].count) == 4
+
+    def test_channels_preserved(self):
+        pc = cloud(
+            [[0.1, 0, 0], [0.2, 0, 0], [5.0, 0, 0]],
+            intensity=[10, 20, 30], ring=[1, 2, 3], time=[0.1, 0.2, 0.3],
+        )
+        f = FilterDecimateVoxels(
+            voxel_filter_resolution=1.0,
+            decimate_method=DecimateMethod.FIRST_POINT,
+        )
+        out = f({"raw": pc})["decimated"]
+        assert int(out.count) == 2
+        vals = set(np.asarray(out.intensity[:2]).tolist())
+        assert vals == {10.0, 30.0}
+
+    def test_bunny_decimation_matches_unique_count(self):
+        from mp2p_icp_tpu.io.xyz import load_xyz_file
+
+        pc = load_xyz_file("/root/reference/demos/bunny_decim.xyz.gz")
+        res = 0.01
+        f = FilterDecimateVoxels(
+            voxel_filter_resolution=res,
+            decimate_method=DecimateMethod.CLOSEST_TO_AVERAGE,
+        )
+        out = f({"raw": pc})["decimated"]
+        xyz = pc.to_numpy()
+        expect = len(np.unique(np.floor(xyz / res).astype(int), axis=0))
+        assert int(out.count) == expect
+
+
+class TestSplitsAndGates:
+    def test_by_range(self):
+        pc = cloud([[1, 0, 0], [5, 0, 0], [20, 0, 0]])
+        f = FilterByRange(
+            range_min=2, range_max=10,
+            output_layer_between="near", output_layer_outside="far",
+        )
+        out = f({"raw": pc})
+        assert int(out["near"].count) == 1
+        assert int(out["far"].count) == 2
+        np.testing.assert_allclose(out["near"].to_numpy(), [[5, 0, 0]])
+
+    def test_bounding_box(self):
+        pc = cloud([[0, 0, 0], [2, 2, 2], [0.5, 0.5, 0.5]])
+        f = FilterBoundingBox(
+            bbox_min=(-1, -1, -1), bbox_max=(1, 1, 1),
+            inside_pointcloud_layer="in", outside_pointcloud_layer="out",
+        )
+        out = f({"raw": pc})
+        assert int(out["in"].count) == 2
+        assert int(out["out"].count) == 1
+
+    def test_by_ring(self):
+        pc = cloud(np.zeros((6, 3)), ring=[0, 1, 2, 3, 2, 1])
+        f = FilterByRing(
+            selected_ring_ids=(1, 2), output_layer_selected="sel",
+            output_layer_non_selected="rest",
+        )
+        out = f({"raw": pc})
+        assert int(out["sel"].count) == 4
+        assert int(out["rest"].count) == 2
+
+    def test_by_intensity_and_normalize(self):
+        pc = cloud(np.zeros((4, 3)), intensity=[0.0, 0.5, 0.95, 1.0])
+        out = FilterByIntensity(
+            low_threshold=0.1, high_threshold=0.9,
+            output_layer_low_intensity="low",
+            output_layer_high_intensity="high",
+            output_layer_mid_intensity="mid",
+        )({"raw": pc})
+        assert int(out["low"].count) == 1
+        assert int(out["mid"].count) == 1
+        assert int(out["high"].count) == 2
+
+        pc2 = cloud(np.zeros((3, 3)), intensity=[10, 20, 30])
+        out2 = FilterNormalizeIntensity()({"raw": pc2})
+        np.testing.assert_allclose(out2["raw"].intensity[:3], [0, 0.5, 1.0])
+
+
+class TestDeskew:
+    def test_constant_twist(self):
+        # point measured at t=1 while moving +x at 1 m/s: correction +1 m
+        pc = cloud([[0, 0, 0], [1, 1, 1]], time=[1.0, 0.0])
+        f = FilterDeskew(twist=(1, 0, 0, 0, 0, 0))
+        out = f({"raw": pc})["deskewed"]
+        np.testing.assert_allclose(
+            out.to_numpy(), [[1, 0, 0], [1, 1, 1]], atol=1e-6
+        )
+
+    def test_rotational_twist(self):
+        # wz = pi/2 rad/s, t = 1: point rotates 90 deg about z
+        pc = cloud([[1, 0, 0]], time=[1.0])
+        f = FilterDeskew(twist=(0, 0, 0, 0, 0, np.pi / 2))
+        out = f({"raw": pc})["deskewed"]
+        np.testing.assert_allclose(out.to_numpy(), [[0, 1, 0]], atol=1e-5)
+
+    def test_variables_override(self):
+        pc = cloud([[0, 0, 0]], time=[2.0])
+        f = FilterDeskew()
+        out = f({"raw": pc}, variables={"vx": 0.5})["deskewed"]
+        np.testing.assert_allclose(out.to_numpy(), [[1, 0, 0]], atol=1e-6)
+
+    def test_missing_timestamps_raises(self):
+        pc = cloud([[0, 0, 0]])
+        with pytest.raises(ValueError):
+            FilterDeskew()({"raw": pc})
+        out = FilterDeskew(silently_ignore_no_timestamps=True)({"raw": pc})
+        assert "deskewed" in out
+
+
+class TestTimestamps:
+    def test_middle_is_zero(self):
+        pc = cloud(np.zeros((3, 3)), time=[0.0, 0.1, 0.2])
+        out = FilterAdjustTimestamps(
+            method=TimestampAdjustMethod.MIDDLE_IS_ZERO
+        )({"raw": pc})
+        np.testing.assert_allclose(
+            out["raw"].time[:3], [-0.1, 0.0, 0.1], atol=1e-6
+        )
+
+    def test_normalize(self):
+        pc = cloud(np.zeros((3, 3)), time=[5.0, 6.0, 7.0])
+        out = FilterAdjustTimestamps(
+            method=TimestampAdjustMethod.NORMALIZE
+        )({"raw": pc})
+        np.testing.assert_allclose(out["raw"].time[:3], [0, 0.5, 1.0], atol=1e-6)
+
+
+class TestMergeDelete:
+    def test_merge_with_robot_pose(self):
+        scan = cloud([[1, 0, 0], [2, 0, 0]])
+        f = FilterMerge(target_layer="map", target_capacity=256)
+        layers = f({"raw": scan}, variables={"robot_x": 10.0})
+        assert int(layers["map"].count) == 2
+        np.testing.assert_allclose(
+            layers["map"].to_numpy(), [[11, 0, 0], [12, 0, 0]], atol=1e-5
+        )
+        # merge again at another pose: map grows
+        layers = f({**layers, "raw": scan}, variables={"robot_x": 20.0})
+        assert int(layers["map"].count) == 4
+
+    def test_delete_layer(self):
+        layers = {"raw": cloud([[0, 0, 0]]), "tmp": cloud([[1, 1, 1]])}
+        out = FilterDeleteLayer(pointcloud_layer_to_remove=("tmp",))(layers)
+        assert "tmp" not in out and "raw" in out
+        with pytest.raises(KeyError):
+            FilterDeleteLayer(pointcloud_layer_to_remove=("nope",))(layers)
+
+
+class TestPipeline:
+    def test_composition(self):
+        pc = cloud(np.random.RandomState(0).uniform(0, 10, (500, 3)))
+        pipeline = [
+            FilterByRange(range_min=0, range_max=9, output_layer_between="near"),
+            FilterDecimateVoxels(
+                input_pointcloud_layer=("near",),
+                output_pointcloud_layer="decimated",
+                voxel_filter_resolution=2.0,
+            ),
+        ]
+        out = apply_filter_pipeline(pipeline, {"raw": pc})
+        assert "decimated" in out
+        assert 0 < int(out["decimated"].count) <= 125 + 60
