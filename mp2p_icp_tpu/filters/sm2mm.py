@@ -1,0 +1,178 @@
+"""simplemap -> metric map batch pipeline (sm2mm).
+
+Reference parity: mp2p_icp_filters/src/sm2mm.cpp:31-250 — iterate keyframes
+of a simple map (pose + sensory frame), update the per-KF dynamic variables
+(robot pose ``robot_x..robot_roll``, twist ``vx..wz``), run generators over
+each observation, apply the per-KF filter pipeline, then ``final_filters``;
+supports index-range resume (--from/--to) and reads velocity-buffer YAML
+from comment observations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import yaml as _yaml
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.core.metric_map import MetricMap
+from mp2p_icp_tpu.core.velocity_buffer import LocalVelocityBuffer
+from mp2p_icp_tpu.filters.base import apply_filter_pipeline
+from mp2p_icp_tpu.filters.generator import (
+    Generator,
+    Observation,
+    apply_generators,
+)
+
+
+@dataclasses.dataclass
+class Keyframe:
+    """One simple-map entry: robot pose + its sensory frame
+    (reference analogue: CSimpleMap keyframe)."""
+
+    pose: se3.Pose
+    observations: List[Observation] = dataclasses.field(default_factory=list)
+    twist: Optional[Tuple[float, ...]] = None  # (vx vy vz wx wy wz)
+
+
+@dataclasses.dataclass
+class SimpleMap:
+    """Keyframe map (reference analogue: mrpt CSimpleMap)."""
+
+    keyframes: List[Keyframe] = dataclasses.field(default_factory=list)
+
+    def save(self, path: str) -> None:
+        arrays = {}
+        meta = []
+        for i, kf in enumerate(self.keyframes):
+            arrays[f"kf{i}/R"] = np.asarray(kf.pose.R)
+            arrays[f"kf{i}/t"] = np.asarray(kf.pose.t)
+            kf_meta = {"twist": list(kf.twist) if kf.twist else None, "obs": []}
+            for j, o in enumerate(kf.observations):
+                kf_meta["obs"].append(
+                    {
+                        "class_name": o.class_name,
+                        "sensor_label": o.sensor_label,
+                        "timestamp": o.timestamp,
+                        "has": [
+                            ch
+                            for ch in ("xyz", "intensity", "ring", "time")
+                            if getattr(o, ch) is not None
+                        ],
+                    }
+                )
+                for ch in ("xyz", "intensity", "ring", "time"):
+                    v = getattr(o, ch)
+                    if v is not None:
+                        arrays[f"kf{i}/obs{j}/{ch}"] = np.asarray(v)
+            meta.append(kf_meta)
+        import json
+
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez_compressed(path, **arrays)
+
+    @staticmethod
+    def load(path: str) -> "SimpleMap":
+        import json
+
+        import jax.numpy as jnp
+
+        sm = SimpleMap()
+        with np.load(path) as data:
+            meta = json.loads(bytes(data["__meta__"]).decode())
+            for i, kf_meta in enumerate(meta):
+                pose = se3.Pose(
+                    jnp.asarray(data[f"kf{i}/R"]), jnp.asarray(data[f"kf{i}/t"])
+                )
+                kf = Keyframe(
+                    pose=pose,
+                    twist=tuple(kf_meta["twist"]) if kf_meta["twist"] else None,
+                )
+                for j, ometa in enumerate(kf_meta["obs"]):
+                    kw = {
+                        ch: data[f"kf{i}/obs{j}/{ch}"]
+                        for ch in ometa["has"]
+                    }
+                    kf.observations.append(
+                        Observation(
+                            class_name=ometa["class_name"],
+                            sensor_label=ometa["sensor_label"],
+                            timestamp=ometa["timestamp"],
+                            **kw,
+                        )
+                    )
+                sm.keyframes.append(kf)
+        return sm
+
+
+@dataclasses.dataclass
+class Sm2MmOptions:
+    """Reference: sm2mm_options_t (sm2mm.h:38)."""
+
+    start_index: int = 0
+    end_index: Optional[int] = None
+    verbose: bool = False
+
+
+def simplemap_to_metricmap(
+    sm: SimpleMap,
+    pipeline_yaml: dict,
+    options: Sm2MmOptions = Sm2MmOptions(),
+) -> MetricMap:
+    """Build a metric map from a keyframe map (reference: sm2mm.cpp:31)."""
+    from mp2p_icp_tpu.filters.generator import generators_from_yaml
+    from mp2p_icp_tpu.pipeline.yaml_loader import filter_pipeline_from_yaml
+
+    generators = generators_from_yaml(pipeline_yaml.get("generators"))
+    filters = filter_pipeline_from_yaml(pipeline_yaml.get("filters"))
+    final_filters = filter_pipeline_from_yaml(pipeline_yaml.get("final_filters"))
+
+    mm = MetricMap()
+    velocity_buffer = LocalVelocityBuffer()
+    end = options.end_index if options.end_index is not None else len(sm.keyframes)
+
+    for idx in range(options.start_index, min(end, len(sm.keyframes))):
+        kf = sm.keyframes[idx]
+        # per-KF dynamic variables (reference: sm2mm.cpp:162-184)
+        tangent = np.asarray(se3.log(kf.pose))
+        R = np.asarray(kf.pose.R)
+        yaw = np.arctan2(R[1, 0], R[0, 0])
+        pitch = np.arctan2(-R[2, 0], np.hypot(R[2, 1], R[2, 2]))
+        roll = np.arctan2(R[2, 1], R[2, 2])
+        t = np.asarray(kf.pose.t)
+        variables = {
+            "robot_x": float(t[0]),
+            "robot_y": float(t[1]),
+            "robot_z": float(t[2]),
+            "robot_yaw": float(yaw),
+            "robot_pitch": float(pitch),
+            "robot_roll": float(roll),
+        }
+        twist = kf.twist or (0, 0, 0, 0, 0, 0)
+        for name, v in zip(("vx", "vy", "vz", "wx", "wy", "wz"), twist):
+            variables[name] = float(v)
+
+        kf_mm = MetricMap()
+        kf_mm.layers = dict(mm.layers)  # accumulate map layers across KFs
+        for obs in kf.observations:
+            if obs.class_name == "CObservationComment" and obs.text:
+                # velocity buffer YAML from comment obs (sm2mm.cpp:95-137)
+                d = _yaml.safe_load(obs.text)
+                if isinstance(d, dict) and "local_velocity_buffer" in d:
+                    velocity_buffer = LocalVelocityBuffer.from_yaml_dict(
+                        d["local_velocity_buffer"]
+                    )
+                continue
+            apply_generators(generators, obs, kf_mm)
+        apply_filter_pipeline(filters, kf_mm, variables)
+        mm.layers = kf_mm.layers
+        if options.verbose:
+            print(f"[sm2mm] kf {idx + 1}/{len(sm.keyframes)}: "
+                  f"{mm.contents_summary()}")
+
+    apply_filter_pipeline(final_filters, mm, None)
+    return mm

@@ -266,7 +266,7 @@ class ICP:
         l_layers = point_layers(local_map)
         if not g_layers or not l_layers:
             raise ValueError("empty input maps")
-        matchers = self._effective_matchers_host(g_layers)
+        matchers = tuple(self.matchers)
         key = (
             params,
             matchers,
@@ -281,11 +281,11 @@ class ICP:
         return self._jit_cache[key](g_layers, l_layers, guess, prior)
 
     def _align_full(self, params, matchers, g_layers, l_layers, guess, prior):
-        """Single fused program: grid build + the whole ICP loop + quality +
-        covariance. One device dispatch per align — no per-call eager ops or
-        host syncs (those dominated wall time through the TPU tunnel)."""
-        grids = self.build_grids(g_layers)
-        return self._align_core(params, matchers, grids, g_layers, l_layers,
+        """Single fused program: the whole ICP loop + quality + covariance.
+        One device dispatch per align — no per-call eager ops or host syncs
+        (those dominated wall time through the TPU tunnel). Matchers use
+        exact MXU brute-force NN, so no spatial index is built at all."""
+        return self._align_core(params, matchers, {}, g_layers, l_layers,
                                 guess, prior)
 
     def _align_core(self, params, matchers, grids, g_layers, l_layers, guess, prior):

@@ -37,7 +37,7 @@ from mp2p_icp_tpu.matchers.base import (
     transformed_local,
 )
 from mp2p_icp_tpu.ops.eigen import estimate_points_eigen
-from mp2p_icp_tpu.ops.nn import nn_search
+from mp2p_icp_tpu.ops.nn_bruteforce import knn_bruteforce
 
 _BIG = 3.0e37
 _HIST_BINS = 50  # reference: CHistogram(min, max, 50), Matcher_Adaptive.cpp:193
@@ -102,14 +102,13 @@ class MatcherAdaptive(Matcher):
         for lm in self.layer_matches:
             local = point_layers(local_map)[lm.local_layer]
             glayer = point_layers(global_map)[lm.global_layer]
-            grid = grids[lm.global_layer]
             pts, valid = transformed_local(local, pose)
             potential = potential + local.count * gate.astype(jnp.int32)
             if not self.allow_match_already_matched_points:
                 valid = valid & ~state.local_paired[lm.local_layer]
 
-            res = nn_search(
-                grid, pts, valid, k=knn, k_per_cell=self.k_per_cell,
+            res = knn_bruteforce(
+                pts, valid, glayer.xyz, glayer.valid_mask(), k=knn,
                 max_radius_sq=self.absolute_max_search_distance**2,
             )
 

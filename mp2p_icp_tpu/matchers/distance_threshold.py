@@ -6,7 +6,8 @@ distSq < threshold^2 + (angularFactor * |p|)^2; honour the already-paired
 bitfields; bump ``potential_pairings`` by nLocal * pairingsPerPoint.
 
 TPU-first: the entire per-point loop (the reference's TBB parallel_reduce)
-is one batched grid-hash NN query + masked writes. One-to-one exclusivity is
+is one exact brute-force kNN on the MXU (ops.nn_bruteforce) + masked
+writes. One-to-one exclusivity is
 a deterministic segment-min (ops.nn.resolve_one_to_one) instead of the
 reference's order-dependent (and racy under TBB) bitfield marking — tests
 assert pair counts/geometry, not identity (SURVEY.md §7.3).
@@ -33,7 +34,8 @@ from mp2p_icp_tpu.matchers.base import (
     subsample_mask,
     transformed_local,
 )
-from mp2p_icp_tpu.ops.nn import nn_search, resolve_one_to_one
+from mp2p_icp_tpu.ops.nn import resolve_one_to_one
+from mp2p_icp_tpu.ops.nn_bruteforce import knn_bruteforce
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,7 +86,6 @@ class MatcherPointsDistanceThreshold(Matcher):
         for lm in self.layer_matches:
             local = point_layers(local_map)[lm.local_layer]
             glayer = point_layers(global_map)[lm.global_layer]
-            grid = grids[lm.global_layer]
             pts, valid = transformed_local(local, pose)
             potential = potential + (
                 local.count * self.pairings_per_point * gate.astype(jnp.int32)
@@ -99,17 +100,16 @@ class MatcherPointsDistanceThreshold(Matcher):
             norm_sq = jnp.where(jnp.isfinite(norm_sq), norm_sq, 0.0)
             thr_sq = self.threshold**2 + ang_factor_sq * norm_sq
 
-            # search radius must cover the largest per-point threshold; the
-            # grid cell is sized for the base threshold, so the angular term
-            # extends the radius only within the same 27-cell envelope —
-            # exactness degrades gracefully for very long ranges.
-            res = nn_search(
-                grid,
+            # exact kNN on the MXU (see ops.nn_bruteforce) — no grid, no
+            # candidate budget, the per-point angular threshold is just a
+            # per-query radius
+            res = knn_bruteforce(
                 pts,
                 valid,
+                glayer.xyz,
+                glayer.valid_mask(),
                 k=self.pairings_per_point,
-                k_per_cell=self.k_per_cell,
-                max_radius_sq=thr_sq[:, None],
+                max_radius_sq=thr_sq,
             )
             keep = res.valid
             if not self.allow_match_already_matched_global_points:

@@ -30,7 +30,7 @@ from mp2p_icp_tpu.matchers.base import (
     subsample_mask,
     transformed_local,
 )
-from mp2p_icp_tpu.ops.nn import nn_search
+from mp2p_icp_tpu.ops.nn_bruteforce import knn_bruteforce
 
 _BIG = 3.0e37
 
@@ -72,16 +72,16 @@ class MatcherPointsInlierRatio(Matcher):
         for lm in self.layer_matches:
             local = point_layers(local_map)[lm.local_layer]
             glayer = point_layers(global_map)[lm.global_layer]
-            grid = grids[lm.global_layer]
             pts, valid = transformed_local(local, pose)
             potential = potential + local.count * gate.astype(jnp.int32)
             if not self.allow_match_already_matched_points:
                 valid = valid & ~state.local_paired[lm.local_layer]
             valid = subsample_mask(valid, local.count, self.max_local_points_per_layer)
 
-            res = nn_search(
-                grid, pts, valid, k=1, k_per_cell=self.k_per_cell,
-                max_radius_sq=self.search_radius_hint**2,
+            # unbounded exact 1-NN (the reference's nn_single_search has no
+            # radius limit either; the ratio cut below does the gating)
+            res = knn_bruteforce(
+                pts, valid, glayer.xyz, glayer.valid_mask(), k=1,
             )
             d = jnp.where(res.valid[:, 0], res.dist_sq[:, 0], _BIG)
             n_valid = jnp.sum((d < _BIG).astype(jnp.int32))
