@@ -35,6 +35,11 @@ def apply_filter_pipeline(filters: Iterable[FilterBase], mm, variables=None):
         layers = dict(mm.layers)
         for f in filters:
             layers = f(layers, variables)
+        # feature filters (FilterEdgesPlanes) emit extracted planes under the
+        # reserved '_planes' key; surface them as MetricMap.planes
+        planes = layers.pop("_planes", None)
+        if planes is not None:
+            mm.planes = planes
         mm.layers = layers
         return mm
     layers = dict(mm)

@@ -53,10 +53,12 @@ def save_mm_file(path: str, mm: MetricMap) -> None:
             arrays[f"layer/{name}/keys"] = np.asarray(layer.keys)
             arrays[f"layer/{name}/occupancy"] = np.asarray(layer.occupancy)
             arrays[f"layer/{name}/valid"] = np.asarray(layer.valid)
+    import dataclasses as _dc
+
     for set_name, s in (("lines", mm.lines), ("planes", mm.planes)):
         if int(s.count):
-            for f in s._fields:
-                arrays[f"{set_name}/{f}"] = np.asarray(getattr(s, f))
+            for f in _dc.fields(s):
+                arrays[f"{set_name}/{f.name}"] = np.asarray(getattr(s, f.name))
     if mm.georeferencing is not None:
         meta["georeferencing"] = {
             "latitude": mm.georeferencing.latitude,

@@ -17,7 +17,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_OFFSET = 1 << 15  # cells in [-32768, 32767] per axis (16-bit packing)
+_OFFSET = 1 << 14  # cells in [-16384, 16383] per axis (15-bit packing
+# keeps k1 = (c0 << 15) | c1 < 2^30 — int32-safe, sentinel unambiguous)
 _SENTINEL = jnp.int32(2147483647)
 
 
@@ -45,7 +46,7 @@ def voxel_segments(
     cells = jnp.clip(cells, 0, 2 * _OFFSET - 1)
     if flatten_z:
         cells = cells.at[:, 2].set(0)
-    k1 = cells[:, 0] * (1 << 16) + cells[:, 1]
+    k1 = cells[:, 0] * (1 << 15) + cells[:, 1]
     k2 = cells[:, 2]
     k1 = jnp.where(valid, k1, _SENTINEL)
     k2 = jnp.where(valid, k2, _SENTINEL)

@@ -35,6 +35,17 @@ from mp2p_icp_tpu.filters import (
     FilterNormalizeIntensity,
 )
 from mp2p_icp_tpu.filters.adjust_timestamps import TimestampAdjustMethod
+from mp2p_icp_tpu.filters.curvature import FilterCurvature
+from mp2p_icp_tpu.filters.decimate_variants import (
+    FilterDecimateAdaptive,
+    FilterDecimateVoxelsQuadratic,
+)
+from mp2p_icp_tpu.filters.edges_planes import FilterEdgesPlanes
+from mp2p_icp_tpu.filters.voxel_filters import (
+    FilterRemoveByVoxelOccupancy,
+    FilterVoxelSlice,
+    GeneratorVoxelMap,
+)
 from mp2p_icp_tpu.icp import ICP, ICPParameters
 from mp2p_icp_tpu.matchers import (
     LayerMatch,
@@ -351,6 +362,80 @@ _FILTERS: Dict[str, Callable] = {
     ),
     "FilterNormalizeIntensity": lambda p, variables=None: FilterNormalizeIntensity(
         pointcloud_layer=p.get("pointcloud_layer", "raw"),
+    ),
+    "FilterEdgesPlanes": lambda p, variables=None: FilterEdgesPlanes(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        voxel_filter_resolution=float(
+            _num(p.get("voxel_filter_resolution", 0.5), variables)
+        ),
+        full_pointcloud_decimation=int(
+            _num(p.get("full_pointcloud_decimation", 20))
+        ),
+        voxel_filter_decimation=int(_num(p.get("voxel_filter_decimation", 1))),
+        voxel_filter_max_e2_e0=float(_num(p.get("voxel_filter_max_e2_e0", 30.0))),
+        voxel_filter_max_e1_e0=float(_num(p.get("voxel_filter_max_e1_e0", 30.0))),
+        voxel_filter_min_e2_e0=float(_num(p.get("voxel_filter_min_e2_e0", 100.0))),
+        voxel_filter_min_e1_e0=float(_num(p.get("voxel_filter_min_e1_e0", 100.0))),
+        voxel_filter_min_e1=float(_num(p.get("voxel_filter_min_e1", 0.0))),
+    ),
+    "FilterCurvature": lambda p, variables=None: FilterCurvature(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        output_layer_larger_curvature=p.get("output_layer_larger_curvature"),
+        output_layer_smaller_curvature=p.get("output_layer_smaller_curvature"),
+        output_layer_other=p.get("output_layer_other"),
+        max_cosine=float(_num(p.get("max_cosine", 0.5))),
+        min_clearance=float(_num(p.get("min_clearance", 0.02))),
+        max_gap=float(_num(p.get("max_gap", 1.0))),
+    ),
+    "FilterDecimateVoxelsQuadratic": lambda p, variables=None: (
+        FilterDecimateVoxelsQuadratic(
+            input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+            output_pointcloud_layer=p.get(
+                "output_pointcloud_layer", "decimated"
+            ),
+            voxel_filter_resolution=float(
+                _num(p.get("voxel_filter_resolution", 0.20), variables)
+            ),
+            quadratic_reference_radius=float(
+                _num(p.get("quadratic_reference_radius", 20.0), variables)
+            ),
+        )
+    ),
+    "FilterDecimateAdaptive": lambda p, variables=None: FilterDecimateAdaptive(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        output_pointcloud_layer=p.get("output_pointcloud_layer", "decimated"),
+        desired_output_point_count=int(
+            _num(p.get("desired_output_point_count", 1000))
+        ),
+        assumed_minimum_pointcloud_bbox=float(
+            _num(p.get("assumed_minimum_pointcloud_bbox", 10.0))
+        ),
+        maximum_voxel_count_per_dimension=int(
+            _num(p.get("maximum_voxel_count_per_dimension", 100))
+        ),
+    ),
+    "FilterRemoveByVoxelOccupancy": lambda p, variables=None: (
+        FilterRemoveByVoxelOccupancy(
+            input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+            input_voxel_layer=p.get("input_voxel_layer", "voxelmap"),
+            output_layer_static_objects=p.get("output_layer_static_objects"),
+            output_layer_dynamic_objects=p.get("output_layer_dynamic_objects"),
+            occupancy_threshold=float(
+                _num(p.get("occupancy_threshold", 0.4), variables)
+            ),
+        )
+    ),
+    "FilterVoxelSlice": lambda p, variables=None: FilterVoxelSlice(
+        input_layer=p.get("input_layer", "voxelmap"),
+        output_layer=p.get("output_layer", "gridmap"),
+        slice_z_min=float(_num(p.get("slice_z_min", 0.0), variables)),
+        slice_z_max=float(_num(p.get("slice_z_max", 1.0), variables)),
+    ),
+    "GeneratorVoxelMap": lambda p, variables=None: GeneratorVoxelMap(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        output_voxel_layer=p.get("output_voxel_layer", "voxelmap"),
+        resolution=float(_num(p.get("resolution", 0.5), variables)),
+        carve_free_space=bool(p.get("carve_free_space", True)),
     ),
     "FilterAdjustTimestamps": lambda p, variables=None: FilterAdjustTimestamps(
         pointcloud_layer=p.get("pointcloud_layer", "raw"),
