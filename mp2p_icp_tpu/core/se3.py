@@ -269,6 +269,16 @@ def se3_right_jacobian_inv(xi: jax.Array) -> jax.Array:
     return se3_left_jacobian_inv(-xi)
 
 
+def adjoint(p: Pose) -> jax.Array:
+    """SE(3) adjoint for tangent ordering [rho, theta]:
+    Ad(T) = [[R, hat(t) R], [0, R]] (6x6), such that
+    T exp(xi) T^-1 = exp(Ad(T) xi)."""
+    tR = hat(p.t) @ p.R
+    top = jnp.concatenate([p.R, tR], axis=-1)
+    bottom = jnp.concatenate([jnp.zeros_like(p.R), p.R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def quat_to_rot(q: jax.Array) -> jax.Array:
     """Unit quaternion [..., 4] = (w, x, y, z) -> rotation matrix."""
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)

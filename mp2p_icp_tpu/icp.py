@@ -206,9 +206,40 @@ class ICP:
         acc: Dict[str, list] = {k: [] for k in ("pt2pt", "pt2ln", "pt2pl", "ln2ln", "pl2pl")}
         potential = jnp.asarray(0, jnp.int32)
         for m in matchers:
-            blocks, state, pot = m.match(
-                grids, global_layers, local_layers, pose, state, ctx
+            # Skip gated-off matchers at runtime with lax.cond — e.g. the
+            # KITTI schedule alternates DistanceThreshold (iters 0-5) and
+            # Adaptive (6+); without the cond BOTH run every iteration with
+            # zeroed weights, doubling per-iteration matcher cost.
+            statically_on = (
+                m.enabled
+                and m.run_from_iteration == 0
+                and m.run_up_to_iteration == 0
             )
+            if statically_on:
+                blocks, state, pot = m.match(
+                    grids, global_layers, local_layers, pose, state, ctx
+                )
+            else:
+                def run_m(m=m, state=state):
+                    return m.match(
+                        grids, global_layers, local_layers, pose, state, ctx
+                    )
+
+                shapes = jax.eval_shape(run_m)
+
+                def skip_m(shapes=shapes, state=state):
+                    zero_blocks = jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), shapes[0]
+                    )
+                    return (
+                        zero_blocks,
+                        state,
+                        jnp.asarray(0, jnp.int32),
+                    )
+
+                blocks, state, pot = jax.lax.cond(
+                    m.gate(iteration) > 0, run_m, skip_m
+                )
             potential = potential + pot
             for k, v in blocks.items():
                 acc[k].append(v)

@@ -133,28 +133,22 @@ def _nn1_pallas(qT, pT, pn, excl, tq=256, tc=512, interpret=False):
 
 
 # ----------------------------------------------------------------- XLA path
-def _nn1_xla(qT, pT, pn, excl, chunk=512):
-    """Same contract as _nn1_pallas via chunked XLA ops (CPU fallback)."""
+def _nn_xla_topk(qT, pT, pn, k, chunk=512):
+    """All k neighbours in ONE pass per query chunk: the [chunk, Cp]
+    distance tile feeds a single lax.top_k, which returns values AND
+    indices in one reduction (vs. separate min+argmin passes and k
+    exclusion rounds). Returns (partial_d [Qp, k], idx [Qp, k])."""
     Qp = qT.shape[1]
-    E = excl.shape[0]
 
-    def one_chunk(q_chunk_and_excl):
-        q_chunk, excl_chunk = q_chunk_and_excl  # [3, chunk], [E, chunk]
-        pq = jnp.einsum("ck,cq->kq", pT, q_chunk)  # [Cp, chunk]
-        d2 = pn.reshape(-1, 1) - 2.0 * pq
-        row = jnp.arange(pT.shape[1], dtype=jnp.int32)[:, None]
-        for e in range(E):
-            d2 = jnp.where(row == excl_chunk[e][None, :], _BIG, d2)
-        return jnp.min(d2, axis=0), jnp.argmin(d2, axis=0).astype(jnp.int32)
+    def one_chunk(q_chunk):  # [3, chunk]
+        pq = jnp.einsum("cq,ck->qk", q_chunk, pT)  # [chunk, Cp]
+        d2 = pn.reshape(1, -1) - 2.0 * pq
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx.astype(jnp.int32)
 
     qs = qT.reshape(3, Qp // chunk, chunk).transpose(1, 0, 2)
-    es = (
-        excl.reshape(E, Qp // chunk, chunk).transpose(1, 0, 2)
-        if E
-        else jnp.zeros((Qp // chunk, 0, chunk), jnp.int32)
-    )
-    ds, idxs = jax.lax.map(one_chunk, (qs, es))
-    return ds.reshape(Qp), idxs.reshape(Qp)
+    ds, idxs = jax.lax.map(one_chunk, qs)
+    return ds.reshape(Qp, k), idxs.reshape(Qp, k)
 
 
 # ------------------------------------------------------------------ public
@@ -205,22 +199,22 @@ def knn_bruteforce(
     pn = jnp.sum(pT * pT, axis=0, keepdims=True)  # [1, Cp]
     qn = jnp.sum(q * q, axis=1)  # [Q] true |q|^2 (unpadded)
 
-    run = _nn1_pallas if backend == "pallas" else _nn1_xla
-
-    idxs = []
-    dists = []
-    excl = jnp.full((0, Qp), -1, jnp.int32)
-    for _ in range(k):
-        if backend == "pallas":
-            pd, pi = run(qT, pT, pn, excl, tq=tq, tc=tc, interpret=interpret)
-        else:
-            pd, pi = run(qT, pT, pn, excl)
-        idxs.append(pi)
-        dists.append(pd)
-        excl = jnp.concatenate([excl, pi[None, :]], axis=0)
-
-    idx = jnp.stack(idxs, axis=1)[:Q]  # [Q, k]
-    pdist = jnp.stack(dists, axis=1)[:Q]
+    if backend == "pallas":
+        # k sequential passes with per-query exclusion lists
+        idxs, dists = [], []
+        excl = jnp.full((0, Qp), -1, jnp.int32)
+        for _ in range(k):
+            pd, pi = _nn1_pallas(
+                qT, pT, pn, excl, tq=tq, tc=tc, interpret=interpret
+            )
+            idxs.append(pi)
+            dists.append(pd)
+            excl = jnp.concatenate([excl, pi[None, :]], axis=0)
+        idx = jnp.stack(idxs, axis=1)[:Q]  # [Q, k]
+        pdist = jnp.stack(dists, axis=1)[:Q]
+    else:
+        pdist, idx = _nn_xla_topk(qT, pT, pn, k)
+        pdist, idx = pdist[:Q], idx[:Q]
     # add back |q|^2 to get true squared distances; clamp tiny negatives
     d2 = jnp.maximum(pdist + qn[:, None], 0.0)
 

@@ -1,0 +1,115 @@
+"""Pose-graph optimisation (SE(3) graph SLAM back-end).
+
+Greenfield relative to the reference — mp2p_icp computes only per-pair
+covariances (covariance.cpp:30-141); the full-sequence back-end envisioned
+in BASELINE.json ("distributed pose-graph + Schur-complement BA") starts
+here. The design is TPU-first:
+
+- all edge residuals r_ij = log(Z_ij^-1 T_i^-1 T_j) and their analytic
+  Jacobians (right-perturbation: J_j = Jr^-1(r), J_i = -Jr^-1(r) Ad(T_j^-1
+  T_i)) evaluate as ONE batched computation over the edge list;
+- the normal system is scatter-assembled into a dense [6N, 6N] H (fine
+  through N ~ thousands on one chip; the multi-host Schur/partitioned
+  variant shards nodes over the mesh and psums partial H blocks);
+- Gauss-Newton with Levenberg damping and a gauge prior on node 0;
+- everything jits; the iteration loop is lax.fori_loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.core.se3 import Pose
+
+
+class PoseGraphEdges(NamedTuple):
+    """Batched SE(3) constraints: T_i^-1 T_j ~ Z (measurement)."""
+
+    i: jax.Array  # [E] i32 source node
+    j: jax.Array  # [E] i32 target node
+    z: Pose  # measured relative pose, batched [E]
+    information: jax.Array  # [E, 6, 6]
+    valid: jax.Array  # [E] bool
+
+
+def edge_residuals(poses: Pose, edges: PoseGraphEdges):
+    """r [E, 6] and Jacobians Ji, Jj [E, 6, 6] for all edges at once."""
+    Ti = Pose(poses.R[edges.i], poses.t[edges.i])
+    Tj = Pose(poses.R[edges.j], poses.t[edges.j])
+    rel = se3.compose(se3.inverse(Ti), Tj)
+    err_pose = se3.compose(se3.inverse(edges.z), rel)
+    r = se3.log(err_pose)
+    Jr_inv = jax.vmap(se3.se3_right_jacobian_inv)(r)
+    # de/dxi_i = -Jr^-1(r) Ad(T_j^-1 T_i) = -Jr^-1(r) Ad(rel^-1)
+    Ad_rel_inv = jax.vmap(se3.adjoint)(se3.inverse(rel))
+    Jj = Jr_inv
+    Ji = -jnp.einsum("eab,ebc->eac", Jr_inv, Ad_rel_inv)
+    return r, Ji, Jj
+
+
+def _assemble(poses: Pose, edges: PoseGraphEdges, gauge_weight: float):
+    """Dense normal system (H [6N, 6N], g [6N]) from all edges."""
+    N = poses.t.shape[0]
+    r, Ji, Jj = edge_residuals(poses, edges)
+    w = edges.valid.astype(jnp.float32)
+    Li = jnp.einsum("e,eab,ebc->eac", w, jnp.swapaxes(Ji, 1, 2), edges.information)
+    Lj = jnp.einsum("e,eab,ebc->eac", w, jnp.swapaxes(Jj, 1, 2), edges.information)
+    Hii = jnp.einsum("eab,ebc->eac", Li, Ji)
+    Hij = jnp.einsum("eab,ebc->eac", Li, Jj)
+    Hjj = jnp.einsum("eab,ebc->eac", Lj, Jj)
+    gi = jnp.einsum("eab,eb->ea", Li, r)
+    gj = jnp.einsum("eab,eb->ea", Lj, r)
+
+    H = jnp.zeros((N, N, 6, 6), jnp.float32)
+    H = H.at[edges.i, edges.i].add(Hii)
+    H = H.at[edges.i, edges.j].add(Hij)
+    H = H.at[edges.j, edges.i].add(jnp.swapaxes(Hij, 1, 2))
+    H = H.at[edges.j, edges.j].add(Hjj)
+    g = jnp.zeros((N, 6), jnp.float32)
+    g = g.at[edges.i].add(gi)
+    g = g.at[edges.j].add(gj)
+
+    # gauge prior on node 0
+    H = H.at[0, 0].add(gauge_weight * jnp.eye(6))
+
+    Hd = H.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+    gd = g.reshape(6 * N)
+    chi2 = jnp.sum(
+        w * jnp.einsum("ea,eab,eb->e", r, edges.information, r)
+    )
+    return Hd, gd, chi2
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphParams:
+    max_iterations: int = 10
+    damping: float = 1e-6
+    gauge_weight: float = 1e6
+
+
+def optimize_pose_graph(
+    poses: Pose, edges: PoseGraphEdges, params: PoseGraphParams = PoseGraphParams()
+):
+    """Batched GN pose-graph optimisation. Returns (poses, final_chi2)."""
+    N = poses.t.shape[0]
+
+    def body(_, carry):
+        poses, _ = carry
+        H, g, chi2 = _assemble(poses, edges, params.gauge_weight)
+        Hd = H + params.damping * jnp.eye(6 * N, dtype=H.dtype)
+        delta = -jax.scipy.linalg.solve(Hd, g, assume_a="pos")
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0).reshape(N, 6)
+        new = jax.vmap(lambda p_R, p_t, d: se3.compose(
+            Pose(p_R, p_t), se3.exp(d)))(poses.R, poses.t, delta)
+        return new, chi2
+
+    final_poses, chi2 = jax.lax.fori_loop(
+        0, params.max_iterations, body, (poses, jnp.asarray(0.0))
+    )
+    _, _, final_chi2 = _assemble(final_poses, edges, params.gauge_weight)
+    return final_poses, final_chi2

@@ -209,3 +209,41 @@ class TestDecimateVariants:
         out = f({"raw": pc})["decimated"]
         n = int(out.count)
         assert 100 <= n <= 900  # right order of magnitude
+
+
+class TestPoleDetector:
+    def test_detects_pole(self):
+        from mp2p_icp_tpu.filters.pole_detector import FilterPoleDetector
+
+        rng = np.random.RandomState(5)
+        # flat ground everywhere + a tall pole in one cell
+        ground = np.stack(
+            [rng.uniform(-10, 10, 2000), rng.uniform(-10, 10, 2000),
+             rng.normal(0, 0.05, 2000)], 1)
+        pole = np.stack(
+            [np.full(50, 3.0) + rng.normal(0, 0.1, 50),
+             np.full(50, 3.0) + rng.normal(0, 0.1, 50),
+             rng.uniform(3.0, 8.0, 50)], 1)
+        pc = PointCloud.from_numpy(
+            np.concatenate([ground, pole]).astype(np.float32))
+        f = FilterPoleDetector(
+            output_layer_poles="poles", output_layer_no_poles="rest",
+            grid_size=2.0, minimum_relative_height=2.5,
+        )
+        out = f({"raw": pc})
+        poles = out["poles"].to_numpy()
+        assert len(poles) >= 40
+        # pole points are near (3, 3) and high up on average
+        assert np.linalg.norm(poles[:, :2].mean(0) - [3, 3]) < 1.5
+        assert int(out["rest"].count) >= 1900
+
+    def test_no_pole_in_flat_scene(self):
+        from mp2p_icp_tpu.filters.pole_detector import FilterPoleDetector
+
+        rng = np.random.RandomState(6)
+        ground = np.stack(
+            [rng.uniform(-10, 10, 1000), rng.uniform(-10, 10, 1000),
+             rng.normal(0, 0.05, 1000)], 1).astype(np.float32)
+        f = FilterPoleDetector(output_layer_poles="poles", grid_size=2.0)
+        out = f({"raw": PointCloud.from_numpy(ground)})
+        assert int(out["poles"].count) == 0
