@@ -40,7 +40,12 @@ from mp2p_icp_tpu.filters.decimate_variants import (
     FilterDecimateAdaptive,
     FilterDecimateVoxelsQuadratic,
 )
+from mp2p_icp_tpu.filters.edge_generators import (
+    GeneratorEdgesFromCurvature,
+    GeneratorEdgesFromRangeImage,
+)
 from mp2p_icp_tpu.filters.edges_planes import FilterEdgesPlanes
+from mp2p_icp_tpu.filters.pole_detector import FilterPoleDetector
 from mp2p_icp_tpu.filters.voxel_filters import (
     FilterRemoveByVoxelOccupancy,
     FilterVoxelSlice,
@@ -436,6 +441,37 @@ _FILTERS: Dict[str, Callable] = {
         output_voxel_layer=p.get("output_voxel_layer", "voxelmap"),
         resolution=float(_num(p.get("resolution", 0.5), variables)),
         carve_free_space=bool(p.get("carve_free_space", True)),
+    ),
+    "FilterPoleDetector": lambda p, variables=None: FilterPoleDetector(
+        input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+        output_layer_poles=p.get("output_layer_poles"),
+        output_layer_no_poles=p.get("output_layer_no_poles"),
+        grid_size=float(_num(p.get("grid_size", 2.0), variables)),
+        minimum_relative_height=float(
+            _num(p.get("minimum_relative_height", 2.5), variables)
+        ),
+        maximum_relative_height=float(
+            _num(p.get("maximum_relative_height", 25.0), variables)
+        ),
+        minimum_pole_points=int(_num(p.get("minimum_pole_points", 5))),
+        minimum_neighbors_checks_to_pass=int(
+            _num(p.get("minimum_neighbors_checks_to_pass", 3))
+        ),
+    ),
+    "GeneratorEdgesFromCurvature": lambda p, variables=None: (
+        GeneratorEdgesFromCurvature(
+            input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+            target_layer=p.get("target_layer", "edges"),
+            max_cosine=float(_num(p.get("max_cosine", 0.5))),
+            min_point_clearance=float(_num(p.get("min_point_clearance", 0.10))),
+        )
+    ),
+    "GeneratorEdgesFromRangeImage": lambda p, variables=None: (
+        GeneratorEdgesFromRangeImage(
+            input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
+            target_layer=p.get("target_layer", "edges"),
+            score_threshold=int(_num(p.get("score_threshold", 10))),
+        )
     ),
     "FilterAdjustTimestamps": lambda p, variables=None: FilterAdjustTimestamps(
         pointcloud_layer=p.get("pointcloud_layer", "raw"),

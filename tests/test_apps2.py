@@ -1,0 +1,149 @@
+"""Tests for sm-cli / mm-georef / viewer apps."""
+
+import numpy as np
+import yaml
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.core.metric_map import Georeferencing, MetricMap
+from mp2p_icp_tpu.core.pointcloud import PointCloud
+from mp2p_icp_tpu.filters.generator import Observation
+from mp2p_icp_tpu.filters.sm2mm import Keyframe, SimpleMap
+from mp2p_icp_tpu.io.mm import load_mm_file, save_mm_file
+
+
+def make_sm(path, n=4):
+    sm = SimpleMap()
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        sm.keyframes.append(
+            Keyframe(
+                pose=se3.from_xyz_ypr(float(i), 0.1 * i, 0, 0, 0, 0),
+                observations=[Observation(xyz=rng.randn(16, 3))],
+            )
+        )
+    sm.save(path)
+    return sm
+
+
+class TestSmCli:
+    def test_info(self, tmp_path, capsys):
+        from mp2p_icp_tpu.apps import sm_cli
+
+        p = str(tmp_path / "a.sm.npz")
+        make_sm(p)
+        assert sm_cli.main(["info", p]) == 0
+        out = capsys.readouterr().out
+        assert "keyframes: 4" in out
+        assert "trajectory length" in out
+
+    def test_join_cut(self, tmp_path, capsys):
+        from mp2p_icp_tpu.apps import sm_cli
+        from mp2p_icp_tpu.filters.sm2mm import SimpleMap
+
+        a = str(tmp_path / "a.sm.npz")
+        b = str(tmp_path / "b.sm.npz")
+        make_sm(a)
+        make_sm(b, n=2)
+        j = str(tmp_path / "j.sm.npz")
+        assert sm_cli.main(["join", a, b, "-o", j]) == 0
+        assert len(SimpleMap.load(j).keyframes) == 6
+        c = str(tmp_path / "c.sm.npz")
+        assert sm_cli.main(
+            ["cut", j, "--from-index", "1", "--to-index", "4", "-o", c]
+        ) == 0
+        assert len(SimpleMap.load(c).keyframes) == 3
+
+    def test_tf(self, tmp_path):
+        from mp2p_icp_tpu.apps import sm_cli
+        from mp2p_icp_tpu.filters.sm2mm import SimpleMap
+
+        a = str(tmp_path / "a.sm.npz")
+        make_sm(a)
+        o = str(tmp_path / "t.sm.npz")
+        assert sm_cli.main(["tf", a, "-t", "10 0 0 0 0 0", "-o", o]) == 0
+        sm = SimpleMap.load(o)
+        np.testing.assert_allclose(
+            np.asarray(sm.keyframes[0].pose.t), [10, 0, 0], atol=1e-5
+        )
+
+    def test_export_kfs(self, tmp_path):
+        from mp2p_icp_tpu.apps import sm_cli
+
+        a = str(tmp_path / "a.sm.npz")
+        make_sm(a)
+        o = str(tmp_path / "kfs.txt")
+        assert sm_cli.main(["export-kfs", a, "-o", o]) == 0
+        data = np.loadtxt(o)
+        assert data.shape == (4, 8)
+
+
+class TestMmGeoref:
+    def test_extract_inject_roundtrip(self, tmp_path, capsys):
+        from mp2p_icp_tpu.apps import mm_georef
+
+        mm = MetricMap()
+        mm.layers["raw"] = PointCloud.from_numpy(np.zeros((3, 3)))
+        mm.georeferencing = Georeferencing(latitude=36.7, longitude=-2.1,
+                                           height=120.0)
+        src = str(tmp_path / "g.mm.npz")
+        save_mm_file(src, mm)
+        gy = str(tmp_path / "georef.yaml")
+        assert mm_georef.main([src, "--extract", gy]) == 0
+        d = yaml.safe_load(open(gy))
+        assert d["georeferencing"]["latitude"] == 36.7
+
+        # inject into a georef-less map
+        mm2 = MetricMap()
+        mm2.layers["raw"] = PointCloud.from_numpy(np.zeros((3, 3)))
+        src2 = str(tmp_path / "plain.mm.npz")
+        save_mm_file(src2, mm2)
+        out = str(tmp_path / "geo2.mm.npz")
+        assert mm_georef.main([src2, "--inject", gy, "-o", out]) == 0
+        assert load_mm_file(out).georeferencing.latitude == 36.7
+
+    def test_print_no_georef(self, tmp_path, capsys):
+        from mp2p_icp_tpu.apps import mm_georef
+
+        mm = MetricMap()
+        mm.layers["raw"] = PointCloud.from_numpy(np.zeros((2, 3)))
+        src = str(tmp_path / "p.mm.npz")
+        save_mm_file(src, mm)
+        assert mm_georef.main([src]) == 0
+        assert "no georeferencing" in capsys.readouterr().out
+
+
+class TestViewers:
+    def test_mm_viewer_renders(self, tmp_path, capsys):
+        from mp2p_icp_tpu.apps import mm_viewer
+
+        mm = MetricMap()
+        mm.layers["raw"] = PointCloud.from_numpy(
+            np.random.RandomState(0).randn(200, 3).astype(np.float32)
+        )
+        src = str(tmp_path / "v.mm.npz")
+        save_mm_file(src, mm)
+        prefix = str(tmp_path / "render")
+        assert mm_viewer.main([src, "-o", prefix]) == 0
+        import pathlib
+
+        assert pathlib.Path(f"{prefix}_raw.png").exists()
+
+    def test_icp_log_viewer(self, tmp_path, capsys):
+        from mp2p_icp_tpu.apps import icp_log_viewer, icp_run
+
+        log = str(tmp_path / "run.icplog.npz")
+        assert icp_run.main(
+            [
+                "--input-local", "/root/reference/demos/bunny_decim.xyz.gz",
+                "--input-global", "/root/reference/demos/bunny_decim.xyz.gz",
+                "-c", "/root/reference/demos/icp-settings-example1.yaml",
+                "--out-log", log,
+            ]
+        ) == 0
+        prefix = str(tmp_path / "log")
+        assert icp_log_viewer.main([log, "-o", prefix]) == 0
+        out = capsys.readouterr().out
+        assert "quality" in out
+        import pathlib
+
+        assert pathlib.Path(f"{prefix}_overlay.png").exists()

@@ -255,3 +255,46 @@ class TestPipeline:
         out = apply_filter_pipeline(pipeline, {"raw": pc})
         assert "decimated" in out
         assert 0 < int(out["decimated"].count) <= 125 + 60
+
+
+class TestEdgeGenerators:
+    def test_curvature_edges(self):
+        from mp2p_icp_tpu.filters.edge_generators import (
+            GeneratorEdgesFromCurvature,
+        )
+
+        # L-shape in one ring with large spacing (>= clearance)
+        t = np.linspace(0, 2, 11)
+        leg1 = np.stack([t, np.zeros_like(t), np.zeros_like(t)], 1)
+        leg2 = np.stack([np.full_like(t, 2.0) , t, np.zeros_like(t)], 1)[1:]
+        xyz = np.concatenate([leg1, leg2]).astype(np.float32)
+        pc = cloud(xyz, ring=np.zeros(len(xyz)))
+        g = GeneratorEdgesFromCurvature(
+            target_layer="edges", max_cosine=0.5, min_point_clearance=0.05
+        )
+        out = g({"raw": pc})
+        e = out["edges"].to_numpy()
+        assert len(e) >= 1
+        assert any(np.allclose(p, [2, 0, 0], atol=0.05) for p in e)
+
+    def test_range_image_edges(self):
+        from mp2p_icp_tpu.filters.edge_generators import (
+            GeneratorEdgesFromRangeImage,
+        )
+
+        # one ring: constant range then a jump (a wall corner)
+        n = 64
+        rng_vals = np.concatenate([np.full(n // 2, 5.0), np.full(n // 2, 10.0)])
+        ang = np.linspace(0, np.pi / 4, n)
+        xyz = np.stack(
+            [rng_vals * np.cos(ang), rng_vals * np.sin(ang), np.zeros(n)], 1
+        ).astype(np.float32)
+        pc = cloud(xyz, ring=np.zeros(n))
+        g = GeneratorEdgesFromRangeImage(target_layer="edges",
+                                         score_threshold=4, window=4)
+        out = g({"raw": pc})
+        e = out["edges"].to_numpy()
+        assert len(e) >= 1
+        # edges concentrate near the discontinuity index n//2
+        r_of_e = np.linalg.norm(e, axis=1)
+        assert ((np.abs(r_of_e - 5) < 0.1) | (np.abs(r_of_e - 10) < 0.1)).all()
