@@ -33,6 +33,13 @@ class FilterDeskew(FilterBase):
     twist: Tuple[float, float, float, float, float, float] = (0, 0, 0, 0, 0, 0)
     # skip deskew entirely (reference: silently_ignore_no_timestamps)
     silently_ignore_no_timestamps: bool = False
+    # precise mode (reference: FilterDeskew with a LocalVelocityBuffer,
+    # FilterDeskew.cpp:232): interpolate a reconstructed trajectory instead
+    # of the constant-twist model. Supply via variables:
+    #   variables["trajectory_times"]    [T] seconds
+    #   variables["trajectory_tangents"] [T, 6] se(3) tangents (pose at t =
+    #                                    exp(tangent), identity at t_ref)
+    method: str = "constant_twist"  # or "trajectory"
 
     def __call__(self, layers: Dict[str, PointCloud], variables=None):
         pc = layers[self.input_pointcloud_layer]
@@ -45,14 +52,32 @@ class FilterDeskew(FilterBase):
                 f"FilterDeskew: layer '{self.input_pointcloud_layer}' has no "
                 "per-point timestamps"
             )
-        tw = list(self.twist)
-        if variables:
-            names = ("vx", "vy", "vz", "wx", "wy", "wz")
-            tw = [variables.get(n, d) for n, d in zip(names, tw)]
-        twist = jnp.asarray(tw, jnp.float32)
 
-        # per-point correction pose: exp(t_i * twist) applied to the point
-        tangents = pc.time[:, None] * twist[None, :]
+        use_traj = (
+            self.method == "trajectory"
+            and variables is not None
+            and "trajectory_times" in variables
+        )
+        if use_traj:
+            # precise path: searchsorted linear interpolation of the
+            # reconstructed trajectory tangents at each point time
+            times = jnp.asarray(variables["trajectory_times"], jnp.float32)
+            tang = jnp.asarray(variables["trajectory_tangents"], jnp.float32)
+            T = times.shape[0]
+            i1 = jnp.clip(jnp.searchsorted(times, pc.time), 1, T - 1)
+            i0 = i1 - 1
+            t0, t1 = times[i0], times[i1]
+            a = jnp.clip((pc.time - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+            tangents = tang[i0] * (1 - a)[:, None] + tang[i1] * a[:, None]
+        else:
+            tw = list(self.twist)
+            if variables:
+                names = ("vx", "vy", "vz", "wx", "wy", "wz")
+                tw = [variables.get(n, d) for n, d in zip(names, tw)]
+            twist = jnp.asarray(tw, jnp.float32)
+            tangents = pc.time[:, None] * twist[None, :]
+
+        # per-point correction pose applied to the point
         poses = se3.exp(tangents)  # batched Pose [C]
         new_xyz = (
             jnp.einsum("cij,cj->ci", poses.R, pc.xyz) + poses.t

@@ -298,3 +298,31 @@ class TestEdgeGenerators:
         # edges concentrate near the discontinuity index n//2
         r_of_e = np.linalg.norm(e, axis=1)
         assert ((np.abs(r_of_e - 5) < 0.1) | (np.abs(r_of_e - 10) < 0.1)).all()
+
+
+class TestDeskewTrajectory:
+    def test_precise_mode_matches_buffer(self):
+        from mp2p_icp_tpu.core.velocity_buffer import LocalVelocityBuffer
+        from mp2p_icp_tpu.filters.deskew import FilterDeskew
+
+        buf = LocalVelocityBuffer()
+        for t in np.arange(0, 0.3, 0.01):
+            buf.add_linear_velocity(t, [2.0, 0, 0])
+        times, tangents = buf.reconstruct_poses_around_reference_time(
+            0.15, half_window=0.1, dt=0.01
+        )
+        pc = cloud([[0, 0, 0], [5, 0, 0]], time=[0.05 - 0.15, 0.0])
+        # trajectory times are absolute; point times are relative to t_ref
+        f = FilterDeskew(method="trajectory")
+        out = f(
+            {"raw": pc},
+            variables={
+                "trajectory_times": times - 0.15,
+                "trajectory_tangents": tangents,
+            },
+        )["deskewed"]
+        # point at t=-0.1: correction -0.2 m in x (moved backwards)
+        np.testing.assert_allclose(
+            out.to_numpy()[0], [-0.2, 0, 0], atol=5e-3
+        )
+        np.testing.assert_allclose(out.to_numpy()[1], [5, 0, 0], atol=5e-3)
