@@ -17,11 +17,13 @@ from mp2p_icp_tpu.icp import ICP, ICPParameters
 
 def make_batched_align(icp: ICP, params: ICPParameters):
     """Returns a jitted function
-        (batched_g_layers, batched_l_layers, batched_guess) -> batched ICPResults
-    where every array input carries a leading batch axis."""
+        (batched_local_layers, batched_global_layers, batched_guess)
+        -> batched ICPResults
+    (same argument order as ICP.align); every array input carries a leading
+    batch axis."""
     matchers = tuple(icp.matchers)
 
-    def single(g_layers, l_layers, guess):
+    def single(l_layers, g_layers, guess):
         return icp._align_core(
             params, matchers, {}, g_layers, l_layers, guess, None
         )

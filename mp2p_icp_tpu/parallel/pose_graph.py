@@ -113,3 +113,74 @@ def optimize_pose_graph(
     )
     _, _, final_chi2 = _assemble(final_poses, edges, params.gauge_weight)
     return final_poses, final_chi2
+
+
+def optimize_pose_graph_sharded(
+    poses: Pose,
+    edges: PoseGraphEdges,
+    mesh,
+    params: PoseGraphParams = PoseGraphParams(),
+    axis: str = "data",
+):
+    """Distributed pose-graph GN: edges are sharded over a mesh axis, each
+    device assembles its partial (H, g) from its edge shard, and a ``psum``
+    over ICI reduces them before the (replicated) solve — the
+    Schur-complement-style distributed BA reduction of BASELINE.json
+    (SURVEY.md §5.8). Poses are replicated (they are small); only the edge
+    set — the big term — is partitioned.
+
+    The edge count must be divisible by the axis size (pad with
+    valid=False edges).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    N = poses.t.shape[0]
+    n_dev = mesh.shape[axis]
+    E = edges.i.shape[0]
+    if E % n_dev != 0:
+        raise ValueError(
+            f"edge count {E} not divisible by mesh axis size {n_dev}; pad "
+            "with valid=False edges"
+        )
+
+    edge_spec = PoseGraphEdges(
+        i=P(axis), j=P(axis),
+        z=Pose(P(axis), P(axis)),
+        information=P(axis), valid=P(axis),
+    )
+
+    def step(poses, edges_shard):
+        H, g, chi2 = _assemble(poses, edges_shard, 0.0)
+        # remove the per-shard gauge double-count: add it once after psum
+        H = jax.lax.psum(H, axis)
+        g = jax.lax.psum(g, axis)
+        chi2 = jax.lax.psum(chi2, axis)
+        H = H.at[:6, :6].add(params.gauge_weight * jnp.eye(6))
+        Hd = H + params.damping * jnp.eye(6 * N, dtype=H.dtype)
+        delta = -jax.scipy.linalg.solve(Hd, g, assume_a="pos")
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0).reshape(N, 6)
+        new = jax.vmap(
+            lambda R, t, d: se3.compose(Pose(R, t), se3.exp(d))
+        )(poses.R, poses.t, delta)
+        return new, chi2
+
+    sharded_step = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(Pose(P(), P()), edge_spec),
+        out_specs=(Pose(P(), P()), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(poses, edges):
+        def body(_, carry):
+            p, _ = carry
+            return sharded_step(p, edges)
+
+        return jax.lax.fori_loop(
+            0, params.max_iterations, body, (poses, jnp.asarray(0.0))
+        )
+
+    return run(poses, edges)
