@@ -36,6 +36,16 @@ def main(argv=None):
     print(f"  result t   : {t.round(4).tolist()}")
     cov_diag = np.diag(np.asarray(log["covariance"]))
     print(f"  cov diag   : {cov_diag.round(6).tolist()}")
+    if "iterations" in log:
+        its = log["iterations"]
+        ts = np.asarray(its["poses"].t)
+        cnts = np.asarray(its["pair_counts"])
+        print("  per-iteration trace:")
+        for i in range(len(ts)):
+            print(
+                f"    it {i:3d}: t={ts[i].round(4).tolist()} "
+                f"pairs={int(cnts[i])}"
+            )
 
     if args.output_prefix:
         import matplotlib

@@ -53,6 +53,8 @@ def main(argv=None):
     ap.add_argument("--profiler", action="store_true")
     ap.add_argument("--out-log", default=None,
                     help="save an .icplog.npz record of the run")
+    ap.add_argument("--record-iterations", action="store_true",
+                    help="store per-iteration poses in the log")
     args = ap.parse_args(argv)
 
     import jax
@@ -63,6 +65,10 @@ def main(argv=None):
     from mp2p_icp_tpu.pipeline.yaml_loader import load_icp_config_file
 
     icp, params, sections = load_icp_config_file(args.config)
+    if args.record_iterations:
+        import dataclasses
+
+        params = dataclasses.replace(params, record_iterations=True)
 
     local_mm = load_input_pc(args.input_local)
     global_mm = load_input_pc(args.input_global)

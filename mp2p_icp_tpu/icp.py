@@ -75,6 +75,10 @@ class ICPParameters:
     # (iteration, min quality) pairs; reference default {50:0.05, 100:0.10}
     quality_checkpoints: Tuple[Tuple[int, float], ...] = ((50, 0.05), (100, 0.10))
     debug_print_iteration_progress: bool = False
+    # record per-iteration poses/pairing counts (reference: LogRecord
+    # iterationsDetails, LogRecord.h:58-71) — runs the loop as a bounded
+    # lax.scan instead of while_loop (always max_iterations steps)
+    record_iterations: bool = False
 
 
 class ICPResults(NamedTuple):
@@ -87,6 +91,9 @@ class ICPResults(NamedTuple):
     quality: jax.Array
     final_pairings: Pairings
     covariance: jax.Array  # [6, 6]
+    # populated only when ICPParameters.record_iterations (else None):
+    iteration_poses: Optional[Pose] = None  # stacked [max_iterations]
+    iteration_pair_counts: Optional[jax.Array] = None  # [max_iterations]
 
 
 class _LoopCarry(NamedTuple):
@@ -392,7 +399,25 @@ class ICP:
             reason=jnp.asarray(_RUNNING, jnp.int32),
             pairings=init_pairings,
         )
-        final = jax.lax.while_loop(cond, body, init)
+        iter_poses = None
+        iter_counts = None
+        if params.record_iterations:
+            # bounded scan: after termination the carry is held frozen, so
+            # the recorded tail repeats the final state
+            def scan_body(carry, _):
+                new_carry = jax.lax.cond(
+                    cond(carry), lambda c: body(c), lambda c: c, carry
+                )
+                return new_carry, (
+                    new_carry.pose,
+                    new_carry.pairings.size(),
+                )
+
+            final, (iter_poses, iter_counts) = jax.lax.scan(
+                scan_body, init, None, length=params.max_iterations
+            )
+        else:
+            final = jax.lax.while_loop(cond, body, init)
 
         reason = jnp.where(
             final.reason == _RUNNING, IterTermReason.MAX_ITERATIONS, final.reason
@@ -428,4 +453,6 @@ class ICP:
             quality=quality,
             final_pairings=final.pairings,
             covariance=cov,
+            iteration_poses=iter_poses,
+            iteration_pair_counts=iter_counts,
         )

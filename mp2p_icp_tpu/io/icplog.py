@@ -35,6 +35,14 @@ def save_log(path, local_mm, global_mm, guess, results) -> None:
     arrays["result/R"] = np.asarray(results.optimal_tf.R)
     arrays["result/t"] = np.asarray(results.optimal_tf.t)
     arrays["result/cov"] = np.asarray(results.covariance)
+    # per-iteration detail (reference: LogRecord iterationsDetails) when the
+    # align ran with record_iterations
+    if getattr(results, "iteration_poses", None) is not None:
+        arrays["iters/R"] = np.asarray(results.iteration_poses.R)
+        arrays["iters/t"] = np.asarray(results.iteration_poses.t)
+        arrays["iters/pair_counts"] = np.asarray(
+            results.iteration_pair_counts
+        )
     for prefix, mm in (("local", local_mm), ("global", global_mm)):
         for name, pc in layers_of(mm).items():
             arrays[f"{prefix}/{name}/xyz"] = np.asarray(pc.xyz)
@@ -64,6 +72,13 @@ def load_log(path):
             "local": {},
             "global": {},
         }
+        if "iters/t" in data.files:
+            out["iterations"] = {
+                "poses": se3.Pose(
+                    jnp.asarray(data["iters/R"]), jnp.asarray(data["iters/t"])
+                ),
+                "pair_counts": jnp.asarray(data["iters/pair_counts"]),
+            }
         for key in data.files:
             for prefix in ("local", "global"):
                 if key.startswith(prefix + "/") and key.endswith("/xyz"):

@@ -328,6 +328,7 @@ def _build_filter_merge(p: dict, variables=None):
     return FilterMerge(
         input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
         target_layer=p.get("target_layer", "map"),
+        target_capacity=int(_num(p.get("target_capacity", 1 << 20))),
         use_robot_pose="robot_pose" in p or bool(p.get("use_robot_pose", True)),
     )
 
@@ -440,6 +441,8 @@ _FILTERS: Dict[str, Callable] = {
         input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
         output_voxel_layer=p.get("output_voxel_layer", "voxelmap"),
         resolution=float(_num(p.get("resolution", 0.5), variables)),
+        capacity=int(_num(p.get("capacity", 1 << 16))),
+        ray_samples=int(_num(p.get("ray_samples", 32))),
         carve_free_space=bool(p.get("carve_free_space", True)),
     ),
     "FilterPoleDetector": lambda p, variables=None: FilterPoleDetector(

@@ -171,3 +171,37 @@ class TestICPBehaviour:
             int(IterTermReason.NO_PAIRINGS),
             int(IterTermReason.QUALITY_CHECKPOINT_FAILED),
         )
+
+
+class TestRecordIterations:
+    def test_per_iteration_trace(self):
+        rng = np.random.RandomState(17)
+        local, globl, gt = make_pair(BUNNY, rng)
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=0.5)],
+            solvers=[SOLVERS["horn"]],
+        )
+        params = ICPParameters(max_iterations=20, record_iterations=True)
+        res = icp.align(local, globl, se3.identity(), params)
+        assert res.iteration_poses is not None
+        assert res.iteration_poses.t.shape == (20, 3)
+        assert res.iteration_pair_counts.shape == (20,)
+        # error decreases from first iteration to final
+        errs = [
+            float(se3.error_log_norm(gt, se3.Pose(
+                res.iteration_poses.R[i], res.iteration_poses.t[i])))
+            for i in range(20)
+        ]
+        assert errs[-1] < 0.1
+        assert errs[-1] <= errs[0]
+        # recorded tail repeats the converged pose
+        n = int(res.n_iterations)
+        if n < 20:
+            np.testing.assert_allclose(
+                res.iteration_poses.t[n - 1], res.iteration_poses.t[-1],
+                atol=1e-6,
+            )
+        # and matches the headline result
+        np.testing.assert_allclose(
+            res.iteration_poses.t[-1], res.optimal_tf.t, atol=1e-6
+        )
