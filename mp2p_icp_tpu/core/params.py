@@ -60,7 +60,22 @@ _CMP = {
 
 class Expression:
     """A parsed numeric expression over named variables (safe evaluator —
-    no attribute access, no calls beyond the allowlist)."""
+    no attribute access, no calls beyond the allowlist).
+
+    Evaluates with python floats OR traced jax scalars in the variable
+    environment (the arithmetic goes through operator.* so jnp arrays work),
+    which is how ICP_ITERATION-dependent parameters run inside jit.
+    Hashable/comparable by text so module configs holding Expressions stay
+    valid jit cache keys."""
+
+    def __hash__(self):
+        return hash(("mp2p_expr", self.text))
+
+    def __eq__(self, other):
+        return isinstance(other, Expression) and other.text == self.text
+
+    def __repr__(self):
+        return f"Expression({self.text!r})"
 
     def __init__(self, text: str):
         self.text = text.strip()

@@ -40,9 +40,15 @@ from mp2p_icp_tpu.ops.nn_bruteforce import knn_bruteforce
 
 @dataclasses.dataclass(frozen=True)
 class MatcherPointsDistanceThreshold(Matcher):
-    """Params (reference: Matcher_Points_DistanceThreshold.h:60-71)."""
+    """Params (reference: Matcher_Points_DistanceThreshold.h:60-71).
 
-    threshold: float = 0.50
+    ``threshold`` may be a core.params.Expression over ICP_ITERATION (the
+    reference's Parameterizable dynamic-threshold feature, exercised by
+    tests/test-mp2p_matcher_pt2pt_parameterizable.cpp) — it is evaluated
+    in-trace each iteration.
+    """
+
+    threshold: object = 0.50  # float | Expression
     threshold_angular_deg: float = 0.0
     pairings_per_point: int = 1
     max_local_points_per_layer: int = 0
@@ -56,10 +62,16 @@ class MatcherPointsDistanceThreshold(Matcher):
     angular_range_hint: float = 100.0
 
     def search_radius(self) -> float:
+        from mp2p_icp_tpu.core.params import Expression
+
+        thr = self.threshold
+        if isinstance(thr, Expression):
+            # conservative static bound: evaluate at iteration 0
+            thr = float(thr({"ICP_ITERATION": 0.0}))
         if self.threshold_angular_deg <= 0:
-            return self.threshold
+            return thr
         ang = float(jnp.deg2rad(self.threshold_angular_deg)) * self.angular_range_hint
-        return float((self.threshold**2 + ang**2) ** 0.5)
+        return float((thr**2 + ang**2) ** 0.5)
 
     def out_capacity(self, local_map: MetricMap) -> int:
         return sum(
@@ -82,6 +94,14 @@ class MatcherPointsDistanceThreshold(Matcher):
         new_local = dict(state.local_paired)
         new_global = dict(state.global_paired)
         ang_factor_sq = (jnp.deg2rad(self.threshold_angular_deg)) ** 2
+        from mp2p_icp_tpu.core.params import Expression
+
+        if isinstance(self.threshold, Expression):
+            thr = self.threshold(
+                {"ICP_ITERATION": ctx.icp_iteration.astype(jnp.float32)}
+            )
+        else:
+            thr = self.threshold
 
         for lm in self.layer_matches:
             local = point_layers(local_map)[lm.local_layer]
@@ -98,7 +118,7 @@ class MatcherPointsDistanceThreshold(Matcher):
             # (norm of the *transformed* point, as in the reference :151-153)
             norm_sq = jnp.sum(pts * pts, axis=-1)
             norm_sq = jnp.where(jnp.isfinite(norm_sq), norm_sq, 0.0)
-            thr_sq = self.threshold**2 + ang_factor_sq * norm_sq
+            thr_sq = thr**2 + ang_factor_sq * norm_sq
 
             # exact kNN on the MXU (see ops.nn_bruteforce) — no grid, no
             # candidate budget, the per-point angular threshold is just a

@@ -100,9 +100,22 @@ def _gating(params: dict) -> dict:
 
 
 # ---------------------------------------------------------------- matchers
+def _dynamic_num(v):
+    """Numeric param that may reference runtime variables (ICP_ITERATION):
+    fold constants, keep an Expression otherwise."""
+    from mp2p_icp_tpu.core.params import Expression
+
+    if isinstance(v, str):
+        expr = Expression(v)
+        if expr.variables:
+            return expr
+        return float(expr({}))
+    return float(v)
+
+
 def _build_matcher_distance_threshold(p: dict):
     return MatcherPointsDistanceThreshold(
-        threshold=float(_num(p.get("threshold", 0.50))),
+        threshold=_dynamic_num(p.get("threshold", 0.50)),
         threshold_angular_deg=float(_num(p.get("thresholdAngularDeg", 0.0))),
         pairings_per_point=int(_num(p.get("pairingsPerPoint", 1))),
         max_local_points_per_layer=int(_num(p.get("maxLocalPointsPerLayer", 0))),

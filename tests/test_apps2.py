@@ -147,3 +147,41 @@ class TestViewers:
         import pathlib
 
         assert pathlib.Path(f"{prefix}_overlay.png").exists()
+
+
+class TestSmFilter:
+    def test_filters_observations(self, tmp_path, capsys):
+        import yaml as _yaml
+
+        from mp2p_icp_tpu.apps import sm_filter
+        from mp2p_icp_tpu.filters.sm2mm import SimpleMap
+
+        src = str(tmp_path / "in.sm.npz")
+        make_sm(src)  # 4 kfs x 16 points
+        pipe = tmp_path / "p.yaml"
+        pipe.write_text(
+            _yaml.safe_dump(
+                {
+                    "filters": [
+                        {
+                            "class_name": "mp2p_icp_filters::FilterByRange",
+                            "params": {
+                                "input_pointcloud_layer": "raw",
+                                "output_layer_between": "near",
+                                "range_min": 0.0,
+                                "range_max": 1.0,
+                            },
+                        }
+                    ]
+                }
+            )
+        )
+        out = str(tmp_path / "out.sm.npz")
+        assert sm_filter.main(
+            ["-i", src, "-o", out, "-p", str(pipe), "--output-layer", "near"]
+        ) == 0
+        sm2 = SimpleMap.load(out)
+        # filtered observations only keep range<=1 points
+        for kf in sm2.keyframes:
+            for o in kf.observations:
+                assert (np.linalg.norm(o.xyz, axis=1) <= 1.0 + 1e-6).all()

@@ -205,3 +205,41 @@ class TestAdaptive:
         blocks, _, _ = run_matcher(m, g, l)
         assert int(blocks["pt2pl"].count()) == 1
         assert int(blocks["pt2pt"].count()) == 0
+
+
+class TestParameterizableThreshold:
+    """Reference: tests/test-mp2p_matcher_pt2pt_parameterizable.cpp —
+    matcher thresholds as runtime expressions over ICP_ITERATION."""
+
+    def test_expression_threshold_shrinks_with_iteration(self):
+        from mp2p_icp_tpu.core.params import Expression
+
+        g, l = make_maps([[0, 0, 0], [3, 0, 0]], [[0.5, 0, 0], [3.02, 0, 0]])
+        m = MatcherPointsDistanceThreshold(
+            threshold=Expression("1.0 - 0.09*ICP_ITERATION")
+        )
+        # iter 0: threshold 1.0 -> both pair; iter 10: 0.1 -> only the close one
+        blocks, _, _ = run_matcher(m, g, l, iteration=0)
+        assert int(blocks["pt2pt"].count()) == 2
+        blocks, _, _ = run_matcher(m, g, l, iteration=10)
+        assert int(blocks["pt2pt"].count()) == 1
+
+    def test_yaml_keeps_dynamic_expression(self):
+        from mp2p_icp_tpu.core.params import Expression
+        from mp2p_icp_tpu.pipeline.yaml_loader import (
+            _build_matcher_distance_threshold,
+        )
+
+        m = _build_matcher_distance_threshold(
+            {"threshold": "$f{2.0 - 0.1*ICP_ITERATION}"}
+        )
+        assert isinstance(m.threshold, Expression)
+        m2 = _build_matcher_distance_threshold({"threshold": "$f{0.5*4}"})
+        assert m2.threshold == 2.0
+
+    def test_jit_cache_key_with_expression(self):
+        from mp2p_icp_tpu.core.params import Expression
+
+        a = MatcherPointsDistanceThreshold(threshold=Expression("1+1"))
+        b = MatcherPointsDistanceThreshold(threshold=Expression("1+1"))
+        assert hash(a) == hash(b) and a == b
