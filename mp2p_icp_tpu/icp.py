@@ -208,7 +208,28 @@ class ICP:
     def _run_matchers(self, matchers, grids, global_layers, local_layers, pose, iteration):
         """Sequentially run all matchers, concatenating their fixed-capacity
         blocks into one Pairings (reference: run_matchers, Matcher.cpp:35-87)."""
-        state = MatchState.create(local_layers, global_layers)
+        # The paired-bitfield bookkeeping only matters when several matchers
+        # can run in the SAME iteration (reference: bitfields deduplicate
+        # across the matcher pipeline). With a single matcher — or matchers
+        # whose iteration windows are statically disjoint (the KITTI
+        # schedule) — skip it entirely: its gathers/scatters on small
+        # tensors are ~ms-class on this TPU.
+        def _window(m):
+            lo = m.run_from_iteration
+            hi = m.run_up_to_iteration if m.run_up_to_iteration > 0 else 10**9
+            return lo, hi
+
+        overlapping = False
+        for a in range(len(matchers)):
+            for b in range(a + 1, len(matchers)):
+                la, ha = _window(matchers[a])
+                lb, hb = _window(matchers[b])
+                if max(la, lb) <= min(ha, hb):
+                    overlapping = True
+        state = (
+            MatchState.create(local_layers, global_layers)
+            if overlapping else None
+        )
         ctx = MatchContext(icp_iteration=iteration)
         acc: Dict[str, list] = {k: [] for k in ("pt2pt", "pt2ln", "pt2pl", "ln2ln", "pl2pl")}
         potential = jnp.asarray(0, jnp.int32)

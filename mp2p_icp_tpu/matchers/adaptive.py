@@ -96,7 +96,7 @@ class MatcherAdaptive(Matcher):
         gate = self.gate(ctx.icp_iteration)
         pt_blocks, pl_blocks = [], []
         potential = jnp.asarray(0, jnp.int32)
-        new_local = dict(state.local_paired)
+        new_local = dict(state.local_paired) if state is not None else None
         knn = self._knn()
 
         for lm in self.layer_matches:
@@ -104,7 +104,7 @@ class MatcherAdaptive(Matcher):
             glayer = point_layers(global_map)[lm.global_layer]
             pts, valid = transformed_local(local, pose)
             potential = potential + local.count * gate.astype(jnp.int32)
-            if not self.allow_match_already_matched_points:
+            if state is not None and not self.allow_match_already_matched_points:
                 valid = valid & ~state.local_paired[lm.local_layer]
 
             res = knn_bruteforce(
@@ -201,8 +201,11 @@ class MatcherAdaptive(Matcher):
                     global_idx=jnp.where(w.reshape(-1) > 0, gidx.reshape(-1), -1),
                 )
             )
-            paired = (jnp.any(w > 0, axis=-1)) | (plane_w > 0)
-            new_local[lm.local_layer] = state.local_paired[lm.local_layer] | paired
+            if state is not None:
+                paired = (jnp.any(w > 0, axis=-1)) | (plane_w > 0)
+                new_local[lm.local_layer] = (
+                    state.local_paired[lm.local_layer] | paired
+                )
 
         out = {}
         out["pt2pt"] = PairsPt2Pt(
@@ -221,6 +224,9 @@ class MatcherAdaptive(Matcher):
         )
         return (
             out,
-            MatchState(local_paired=new_local, global_paired=dict(state.global_paired)),
+            MatchState(
+                local_paired=new_local,
+                global_paired=dict(state.global_paired),
+            ) if state is not None else None,
             potential,
         )

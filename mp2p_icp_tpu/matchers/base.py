@@ -118,13 +118,15 @@ def transformed_local(
     local: PointCloud, pose: Pose
 ) -> Tuple[jax.Array, jax.Array]:
     """Local points mapped into the global frame + validity (reference:
-    Matcher_Points_Base::transform_local_to_global)."""
+    Matcher_Points_Base::transform_local_to_global).
+
+    Padding rows transform to garbage-but-huge coordinates and are masked by
+    `valid` downstream — no [C, 3] where here (standalone small-minor-dim
+    ops cost ~1 ms on this TPU; see ops.nn_bruteforce layout note)."""
     from mp2p_icp_tpu.core import se3
 
     pts = se3.apply(pose, local.xyz)
-    valid = local.valid_mask()
-    pts = jnp.where(valid[:, None], pts, local.xyz)  # keep padding sentinel
-    return pts, valid
+    return pts, local.valid_mask()
 
 
 GridCache = Dict[str, HashGrid]

@@ -91,8 +91,11 @@ class MatcherPointsDistanceThreshold(Matcher):
         gate = self.gate(ctx.icp_iteration)
         blocks = []
         potential = jnp.asarray(0, jnp.int32)
-        new_local = dict(state.local_paired)
-        new_global = dict(state.global_paired)
+        # state=None: single-matcher fast path (the cross-matcher paired
+        # bitfields carry no information, and their gathers/scatters cost
+        # ~2 ms on this TPU — see ops.nn_bruteforce layout note)
+        new_local = dict(state.local_paired) if state is not None else None
+        new_global = dict(state.global_paired) if state is not None else None
         ang_factor_sq = (jnp.deg2rad(self.threshold_angular_deg)) ** 2
         from mp2p_icp_tpu.core.params import Expression
 
@@ -110,7 +113,7 @@ class MatcherPointsDistanceThreshold(Matcher):
             potential = potential + (
                 local.count * self.pairings_per_point * gate.astype(jnp.int32)
             )
-            if not self.allow_match_already_matched_points:
+            if state is not None and not self.allow_match_already_matched_points:
                 valid = valid & ~state.local_paired[lm.local_layer]
             valid = subsample_mask(valid, local.count, self.max_local_points_per_layer)
 
@@ -133,9 +136,10 @@ class MatcherPointsDistanceThreshold(Matcher):
             )
             keep = res.valid
             if not self.allow_match_already_matched_global_points:
-                gmask = state.global_paired[lm.global_layer]
-                safe = jnp.clip(res.idx, 0, gmask.shape[0] - 1)
-                keep = keep & ~gmask[safe]
+                if state is not None:
+                    gmask = state.global_paired[lm.global_layer]
+                    safe = jnp.clip(res.idx, 0, gmask.shape[0] - 1)
+                    keep = keep & ~gmask[safe]
                 if self.pairings_per_point == 1:
                     one2one = resolve_one_to_one(
                         res.idx, res.dist_sq, keep, glayer.capacity
@@ -162,8 +166,8 @@ class MatcherPointsDistanceThreshold(Matcher):
             )
 
             # update paired masks
-            paired_local = jnp.any(w > 0, axis=-1)
-            if not self.allow_match_already_matched_global_points:
+            if state is not None and not self.allow_match_already_matched_global_points:
+                paired_local = jnp.any(w > 0, axis=-1)
                 new_local[lm.local_layer] = (
                     state.local_paired[lm.local_layer] | paired_local
                 )
@@ -185,8 +189,8 @@ class MatcherPointsDistanceThreshold(Matcher):
             local_idx=jnp.concatenate([b.local_idx for b in blocks]),
             global_idx=jnp.concatenate([b.global_idx for b in blocks]),
         )
-        return (
-            dict(pt2pt=pt2pt),
-            MatchState(local_paired=new_local, global_paired=new_global),
-            potential,
+        new_state = (
+            MatchState(local_paired=new_local, global_paired=new_global)
+            if state is not None else None
         )
+        return (dict(pt2pt=pt2pt), new_state, potential)

@@ -67,14 +67,14 @@ class MatcherPointsInlierRatio(Matcher):
         gate = self.gate(ctx.icp_iteration)
         blocks = []
         potential = jnp.asarray(0, jnp.int32)
-        new_local = dict(state.local_paired)
+        new_local = dict(state.local_paired) if state is not None else None
 
         for lm in self.layer_matches:
             local = point_layers(local_map)[lm.local_layer]
             glayer = point_layers(global_map)[lm.global_layer]
             pts, valid = transformed_local(local, pose)
             potential = potential + local.count * gate.astype(jnp.int32)
-            if not self.allow_match_already_matched_points:
+            if state is not None and not self.allow_match_already_matched_points:
                 valid = valid & ~state.local_paired[lm.local_layer]
             valid = subsample_mask(valid, local.count, self.max_local_points_per_layer)
 
@@ -104,7 +104,10 @@ class MatcherPointsInlierRatio(Matcher):
                     global_idx=jnp.where(w > 0, gidx, -1),
                 )
             )
-            new_local[lm.local_layer] = state.local_paired[lm.local_layer] | (w > 0)
+            if state is not None:
+                new_local[lm.local_layer] = (
+                    state.local_paired[lm.local_layer] | (w > 0)
+                )
 
         pt2pt = PairsPt2Pt(
             local=jnp.concatenate([b.local for b in blocks]),
@@ -115,6 +118,9 @@ class MatcherPointsInlierRatio(Matcher):
         )
         return (
             dict(pt2pt=pt2pt),
-            MatchState(local_paired=new_local, global_paired=dict(state.global_paired)),
+            MatchState(
+                local_paired=new_local,
+                global_paired=dict(state.global_paired),
+            ) if state is not None else None,
             potential,
         )

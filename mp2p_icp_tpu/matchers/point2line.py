@@ -66,14 +66,14 @@ class MatcherPoint2Line(Matcher):
         gate = self.gate(ctx.icp_iteration)
         blocks = []
         potential = jnp.asarray(0, jnp.int32)
-        new_local = dict(state.local_paired)
+        new_local = dict(state.local_paired) if state is not None else None
 
         for lm in self.layer_matches:
             local = point_layers(local_map)[lm.local_layer]
             glayer = point_layers(global_map)[lm.global_layer]
             pts, valid = transformed_local(local, pose)
             potential = potential + local.count * gate.astype(jnp.int32)
-            if not self.allow_match_already_matched_points:
+            if state is not None and not self.allow_match_already_matched_points:
                 valid = valid & ~state.local_paired[lm.local_layer]
 
             res = knn_bruteforce(
@@ -105,7 +105,10 @@ class MatcherPoint2Line(Matcher):
                     ),
                 )
             )
-            new_local[lm.local_layer] = state.local_paired[lm.local_layer] | (w > 0)
+            if state is not None:
+                new_local[lm.local_layer] = (
+                    state.local_paired[lm.local_layer] | (w > 0)
+                )
 
         pt2ln = PairsPt2Ln(
             local=jnp.concatenate([b.local for b in blocks]),
@@ -116,6 +119,9 @@ class MatcherPoint2Line(Matcher):
         )
         return (
             dict(pt2ln=pt2ln),
-            MatchState(local_paired=new_local, global_paired=dict(state.global_paired)),
+            MatchState(
+                local_paired=new_local,
+                global_paired=dict(state.global_paired),
+            ) if state is not None else None,
             potential,
         )

@@ -107,26 +107,26 @@ def resolve_one_to_one(
     n_global_capacity: int,
 ) -> jax.Array:
     """Enforce one-to-one local<->global pairing: when several local points
-    claim the same global point, only the closest keeps it.
+    claim the same global point, only the closest keeps it (ties: lowest
+    local index).
 
     The reference enforces this with order-dependent bitfield marking
     (Matcher_Points_DistanceThreshold.cpp:99-120; racy under TBB). Here it
-    is a deterministic segment-min: scatter-min each local's distance onto
-    its claimed global, then keep only the arg-winners. Returns the refined
-    valid mask [Q].
-
-    Only supports k=1 claims (the pairingsPerPoint>1 path allows shared
-    global points in the reference as well when allowMatch... is set).
+    is a deterministic lexicographic sort by (global idx, distance, local
+    idx) — winners are the segment heads. Sort-based instead of
+    scatter/gather-based: small-tensor gathers cost ~1-2 ms on this TPU
+    while multi-key sorts run in tens of microseconds. Returns the refined
+    valid mask [Q]. k=1 claims only (pairingsPerPoint>1 shares globals in
+    the reference too).
     """
-    idx = nn_idx[:, 0]
+    Q = nn_idx.shape[0]
+    idx = jnp.where(nn_valid[:, 0], nn_idx[:, 0], jnp.int32(2147483647))
     d = jnp.where(nn_valid[:, 0], nn_dist_sq[:, 0], _BIG)
-    safe_idx = jnp.where(idx >= 0, idx, 0)
-    best = jnp.full((n_global_capacity,), _BIG, dtype=d.dtype)
-    best = best.at[safe_idx].min(d)
-    win = (d <= best[safe_idx]) & nn_valid[:, 0]
-    # ties (identical distance to same global): keep lowest local index
-    Q = idx.shape[0]
-    arange = jnp.arange(Q, dtype=jnp.int32)
-    owner = jnp.full((n_global_capacity,), Q, dtype=jnp.int32)
-    owner = owner.at[safe_idx].min(jnp.where(win, arange, Q))
-    return win & (owner[safe_idx] == arange)
+    rows = jnp.arange(Q, dtype=jnp.int32)
+    idx_s, d_s, rows_s = jax.lax.sort((idx, d, rows), num_keys=3)
+    is_head = jnp.concatenate(
+        [jnp.ones((1,), bool), idx_s[1:] != idx_s[:-1]]
+    )
+    win_sorted = is_head & (idx_s != 2147483647)
+    # unsort: one scatter of the win flags back to local order
+    return jnp.zeros((Q,), bool).at[rows_s].set(win_sorted)

@@ -133,20 +133,32 @@ def _nn1_pallas(qT, pT, pn, excl, tq=256, tc=512, interpret=False):
 
 
 # ----------------------------------------------------------------- XLA path
-def _nn_xla_topk(qT, pT, pn, k, chunk=512):
+def _nn_xla_topk(q_rows, p_rows, k, chunk=2048):
     """All k neighbours in ONE pass per query chunk: the [chunk, Cp]
     distance tile feeds a single lax.top_k, which returns values AND
-    indices in one reduction (vs. separate min+argmin passes and k
-    exclusion rounds). Returns (partial_d [Qp, k], idx [Qp, k])."""
-    Qp = qT.shape[1]
+    indices in one reduction.
 
-    def one_chunk(q_chunk):  # [3, chunk]
-        pq = jnp.einsum("cq,ck->qk", q_chunk, pT)  # [chunk, Cp]
-        d2 = pn.reshape(1, -1) - 2.0 * pq
+    LAYOUT MATTERS on this TPU: standalone ops on [N, 3]-shaped tensors
+    (transposes, wheres, gathers) cost 1-2 ms each because the minor dim 3
+    wastes 125/128 lanes; everything here is written so those small-tensor
+    ops fuse into the distance matmul (row-major einsum, no transposes).
+
+    q_rows: [Qp, 3]; p_rows: [Cp, 3] (invalid entries at far sentinel).
+    Returns (partial_d [Qp, k] = |p|^2 - 2 q.p, idx [Qp, k])."""
+    Qp = q_rows.shape[0]
+    chunk = min(chunk, Qp)
+    pn = jnp.sum(p_rows * p_rows, axis=1)  # [Cp]
+
+    def one_chunk(q_chunk):  # [chunk, 3]
+        pq = jnp.einsum("qc,kc->qk", q_chunk, p_rows)  # [chunk, Cp]
+        d2 = pn[None, :] - 2.0 * pq
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx.astype(jnp.int32)
 
-    qs = qT.reshape(3, Qp // chunk, chunk).transpose(1, 0, 2)
+    if Qp == chunk:
+        ds, idxs = one_chunk(q_rows)
+        return ds, idxs
+    qs = q_rows.reshape(Qp // chunk, chunk, 3)
     ds, idxs = jax.lax.map(one_chunk, qs)
     return ds.reshape(Qp, k), idxs.reshape(Qp, k)
 
@@ -182,24 +194,27 @@ def knn_bruteforce(
         ):
             backend = "xla"
 
-    tq, tc = (256, 512) if backend == "pallas" else (min(512, _round_up(Q, 8)), 0)
-    Qp = _round_up(Q, tq if backend == "pallas" else 512)
-    Cp = _round_up(C, 512)
-
-    # pad; invalid points get a huge coordinate -> never nearest
-    far = 1.0e8
+    # pad row counts only; invalid entries get a huge coordinate -> never
+    # nearest. All masking folds into the distance matmul (see _nn_xla_topk
+    # layout note) — no standalone transposes/gathers on [N, 3] tensors.
+    # OPPOSITE-SIGN sentinels: an invalid query (+1e8) and an invalid point
+    # (-1e8) must not match each other at distance ~0.
+    far = jnp.float32(1.0e8)
     q = jnp.where(query_valid[:, None], queries, far)
-    qT = jnp.concatenate(
-        [q.T, jnp.full((3, Qp - Q), far, jnp.float32)], axis=1
-    )
-    p = jnp.where(point_valid[:, None], points, far)
-    pT = jnp.concatenate(
-        [p.T, jnp.full((3, Cp - C), far, jnp.float32)], axis=1
-    )
-    pn = jnp.sum(pT * pT, axis=0, keepdims=True)  # [1, Cp]
-    qn = jnp.sum(q * q, axis=1)  # [Q] true |q|^2 (unpadded)
+    p = jnp.where(point_valid[:, None], points, -far)
+    qn = jnp.sum(q * q, axis=1)  # [Q] |q|^2 (sentinel-large for invalid)
 
     if backend == "pallas":
+        tq, tc = 256, 512
+        Qp = _round_up(Q, tq)
+        Cp = _round_up(C, 512)
+        qT = jnp.concatenate(
+            [q.T, jnp.full((3, Qp - Q), far, jnp.float32)], axis=1
+        )
+        pT = jnp.concatenate(
+            [p.T, jnp.full((3, Cp - C), -far, jnp.float32)], axis=1
+        )
+        pn = jnp.sum(pT * pT, axis=0, keepdims=True)  # [1, Cp]
         # k sequential passes with per-query exclusion lists
         idxs, dists = [], []
         excl = jnp.full((0, Qp), -1, jnp.int32)
@@ -213,13 +228,20 @@ def knn_bruteforce(
         idx = jnp.stack(idxs, axis=1)[:Q]  # [Q, k]
         pdist = jnp.stack(dists, axis=1)[:Q]
     else:
-        pdist, idx = _nn_xla_topk(qT, pT, pn, k)
+        Qp = _round_up(Q, 512)
+        if Qp != Q:
+            q = jnp.concatenate(
+                [q, jnp.full((Qp - Q, 3), far, jnp.float32)], axis=0
+            )
+        pdist, idx = _nn_xla_topk(q, p, k)
         pdist, idx = pdist[:Q], idx[:Q]
     # add back |q|^2 to get true squared distances; clamp tiny negatives
     d2 = jnp.maximum(pdist + qn[:, None], 0.0)
 
-    valid = (idx >= 0) & (idx < C) & query_valid[:, None]
-    valid = valid & point_valid[jnp.clip(idx, 0, C - 1)]
+    # validity WITHOUT a point_valid gather: invalid/padded points sit at
+    # the far sentinel, so any pair involving one has d2 >~ 1e15 — one
+    # distance test covers query validity, point validity and padding
+    valid = (idx >= 0) & (idx < C) & (d2 < 1.0e15)
     if max_radius_sq is not None:
         r = jnp.asarray(max_radius_sq)
         r = r[:, None] if r.ndim == 1 else r

@@ -44,15 +44,19 @@ def project_range_image(
     return jnp.where(img < _BIG, img, 0.0)
 
 
-def _score_images(I: jnp.ndarray, J: jnp.ndarray, sigma: float):
+def _score_images(I: jnp.ndarray, J: jnp.ndarray, sigma: float,
+                  penalty_not_visible: float = 0.1):
     """Per-pixel Gaussian agreement score between two range images
-    (reference: scores() in QualityEvaluator_RangeImageSimilarity.cpp)."""
+    (reference: scores() in QualityEvaluator_RangeImageSimilarity.cpp).
+    Pixels empty in BOTH images carry no information and are excluded
+    from the mean."""
     both = (I > 0) & (J > 0)
     one = (I > 0) ^ (J > 0)
     err = I - J
     g = jnp.exp(-0.5 * jnp.square(err / sigma))
-    score = jnp.where(both, g, jnp.where(one, 0.1, 0.5))
-    return jnp.mean(score)
+    score = jnp.where(both, g, jnp.where(one, penalty_not_visible, 0.0))
+    n = jnp.maximum(jnp.sum((both | one).astype(jnp.float32)), 1.0)
+    return jnp.sum(score) / n
 
 
 @dataclasses.dataclass(frozen=True)

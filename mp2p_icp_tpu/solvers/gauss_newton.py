@@ -68,35 +68,108 @@ def _accumulate(H, g, err_sq_total, r, J, w_pairs, kernel, kernel_param):
     return H + JtJ, g + Jt_r, err_sq_total + jnp.sum(w * r_sq)
 
 
+def _robust_w(base_w, r_sq, kernel, kernel_param):
+    if kernel == RobustKernel.NONE:
+        return base_w
+    return base_w * robust_sqrt_weight(kernel, r_sq, kernel_param)
+
+
+def _pt2pt_closed_form(pose, local, globl, w):
+    """Closed-form (H, g, errSq) for point-to-point pairs.
+
+    With the right-perturbation Jacobian J = [R | -R hat(l)] the normal
+    blocks collapse to weighted [C, 3] cross/outer reductions:
+      g  = [ R^T s_r ;  sum w l x (R^T r) ]          (s_r = sum w r)
+      H  = [[ (sum w) I , -hat(sum w l) ],
+            [  hat(sum w l), (sum w |l|^2) I - sum w l l^T ]]
+    No [C, 3, 6] Jacobian tensors — those layouts cost ~ms on TPU (small
+    minor dims waste the vector lanes)."""
+    q = se3.apply(pose, local)
+    r = q - globl  # [C, 3]
+    rtR = r @ pose.R  # R^T r per pair, [C, 3]
+    sw = jnp.sum(w)
+    s_l = jnp.einsum("c,ci->i", w, local)
+    g_top = jnp.einsum("c,ci->i", w, rtR)
+    g_bot = jnp.einsum("c,ci->i", w, jnp.cross(local, rtR))
+    M = jnp.einsum("c,ci,cj->ij", w, local, local)
+    l_sq = jnp.einsum("c,ci,ci->", w, local, local)
+    eye = jnp.eye(3, dtype=local.dtype)
+    H = jnp.zeros((6, 6), jnp.float32)
+    H = H.at[:3, :3].set(sw * eye)
+    H = H.at[:3, 3:].set(-se3.hat(s_l))
+    H = H.at[3:, :3].set(se3.hat(s_l))
+    H = H.at[3:, 3:].set(l_sq * eye - M)
+    g = jnp.concatenate([g_top, g_bot])
+    err = jnp.einsum("c,ci,ci->", w, r, r)
+    return H, g, err, jnp.sum(r * r, axis=-1)
+
+
 def gn_build_normal_equations(
     pose: Pose,
     pairings: Pairings,
     params: GNParams,
     prior: Optional[SE3Prior] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One linearisation: (H [6,6], g [6], total weighted squared error)."""
+    """One linearisation: (H [6,6], g [6], total weighted squared error).
+
+    pt2pt / pt2pl / pt2ln use closed-form block reductions over [C, 3]
+    arrays (see _pt2pt_closed_form); ln2ln / pl2pl (small counts) go
+    through the general Jacobian path (error_terms). The two paths agree —
+    asserted by tests/test_optimal_tf.py::TestClosedFormEquivalence."""
     pw = params.pair_weights
     H = jnp.zeros((6, 6), jnp.float32)
     g = jnp.zeros((6,), jnp.float32)
     e = jnp.zeros((), jnp.float32)
 
+    # ---- pt2pt (closed form; robust kernel applied via a pre-pass r_sq)
     p = pairings.pt2pt
-    r, J = error_terms.error_point2point(pose, p.local, p.globl)
-    H, g, e = _accumulate(
-        H, g, e, r, J, p.weight * pw.pt2pt, params.kernel, params.kernel_param
-    )
+    if params.kernel != RobustKernel.NONE:
+        q_pts = se3.apply(pose, p.local)
+        r_sq0 = jnp.sum(jnp.square(q_pts - p.globl), axis=-1)
+        w_pt = _robust_w(p.weight * pw.pt2pt, r_sq0, params.kernel,
+                         params.kernel_param)
+    else:
+        w_pt = p.weight * pw.pt2pt
+    Hp, gp, ep, _ = _pt2pt_closed_form(pose, p.local, p.globl, w_pt)
+    H, g, e = H + Hp, g + gp, e + ep
 
-    q = pairings.pt2ln
-    r, J = error_terms.error_point2line(pose, q.local, q.line_point, q.line_dir)
-    H, g, e = _accumulate(
-        H, g, e, r, J, q.weight * pw.pt2ln, params.kernel, params.kernel_param
-    )
-
+    # ---- pt2pl: J^T J = w u u^T with u = [R^T n ; l x R^T n], residual
+    # e_c = n . (T(l) - c) (scalar per pair)
     s = pairings.pt2pl
-    r, J = error_terms.error_point2plane(pose, s.local, s.plane_centroid, s.plane_normal)
-    H, g, e = _accumulate(
-        H, g, e, r, J, s.weight * pw.pt2pl, params.kernel, params.kernel_param
+    q_pl = se3.apply(pose, s.local)
+    e_c = jnp.sum(s.plane_normal * (q_pl - s.plane_centroid), axis=-1)
+    w_pl = _robust_w(
+        s.weight * pw.pt2pl, e_c * e_c, params.kernel, params.kernel_param
     )
+    a = s.plane_normal @ pose.R  # R^T n, [C, 3]
+    u = jnp.concatenate([a, jnp.cross(s.local, a)], axis=-1)  # [C, 6]
+    H = H + jnp.einsum("c,ci,cj->ij", w_pl, u, u)
+    g = g + jnp.einsum("c,c,ci->i", w_pl, e_c, u)
+    e = e + jnp.einsum("c,c,c->", w_pl, e_c, e_c)
+
+    # ---- pt2ln: H = H_pt2pt_form - sum w v v^T (v = [R^T d ; l x R^T d]),
+    # g from the projected residual
+    t = pairings.pt2ln
+    q_ln = se3.apply(pose, t.local)
+    diff = q_ln - t.line_point
+    along = jnp.sum(t.line_dir * diff, axis=-1, keepdims=True)
+    r_ln = diff - t.line_dir * along  # projected residual [C, 3]
+    w_ln = _robust_w(
+        t.weight * pw.pt2ln, jnp.sum(r_ln * r_ln, axis=-1),
+        params.kernel, params.kernel_param,
+    )
+    Hl, _, _, _ = _pt2pt_closed_form(pose, t.local, t.line_point, w_ln)
+    b = t.line_dir @ pose.R  # R^T d
+    v = jnp.concatenate([b, jnp.cross(t.local, b)], axis=-1)
+    H = H + Hl - jnp.einsum("c,ci,cj->ij", w_ln, v, v)
+    rtR_ln = r_ln @ pose.R
+    g = g + jnp.concatenate(
+        [
+            jnp.einsum("c,ci->i", w_ln, rtR_ln),
+            jnp.einsum("c,ci->i", w_ln, jnp.cross(t.local, rtR_ln)),
+        ]
+    )
+    e = e + jnp.einsum("c,ci,ci->", w_ln, r_ln, r_ln)
 
     ll = pairings.ln2ln
     r, J = error_terms.error_line2line(

@@ -240,3 +240,75 @@ class TestPt2Conversions:
         # Horn on the converted pairs should improve towards gt from guess
         est = optimal_tf_horn(conv)
         assert float(se3.error_log_norm(gt, est)) < float(se3.error_log_norm(gt, guess))
+
+
+class TestClosedFormEquivalence:
+    """The closed-form GN block reductions must equal the general
+    Jacobian-tensor path (error_terms) exactly."""
+
+    def _general_Hg(self, pose, pairings, params):
+        from mp2p_icp_tpu.solvers.gauss_newton import _accumulate
+        from mp2p_icp_tpu.solvers import error_terms
+
+        H = jnp.zeros((6, 6)); g = jnp.zeros(6); e = jnp.zeros(())
+        p = pairings.pt2pt
+        r, J = error_terms.error_point2point(pose, p.local, p.globl)
+        H, g, e = _accumulate(H, g, e, r, J, p.weight, params.kernel,
+                              params.kernel_param)
+        s = pairings.pt2pl
+        r, J = error_terms.error_point2plane(
+            pose, s.local, s.plane_centroid, s.plane_normal)
+        H, g, e = _accumulate(H, g, e, r, J, s.weight, params.kernel,
+                              params.kernel_param)
+        q = pairings.pt2ln
+        r, J = error_terms.error_point2line(pose, q.local, q.line_point,
+                                            q.line_dir)
+        H, g, e = _accumulate(H, g, e, r, J, q.weight, params.kernel,
+                              params.kernel_param)
+        return H, g, e
+
+    def test_matches_general_path(self):
+        from mp2p_icp_tpu.core.pairings import PairsPt2Ln, PairsPt2Pl
+        from mp2p_icp_tpu.solvers.gauss_newton import (
+            GNParams,
+            gn_build_normal_equations,
+        )
+
+        rng = np.random.RandomState(0)
+        gt = gt_pose(901)
+        p = make_pt2pt(rng, gt, n=40, sigma=0.05, cap=64)
+        # add pt2pl + pt2ln blocks
+        n = 20
+        normals = rng.randn(n, 3).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        cents = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        pl = PairsPt2Pl.empty(32)
+        pl = dataclasses.replace(
+            pl,
+            local=pl.local.at[:n].set(rng.randn(n, 3).astype(np.float32)),
+            plane_centroid=pl.plane_centroid.at[:n].set(cents),
+            plane_normal=pl.plane_normal.at[:n].set(normals),
+            weight=pl.weight.at[:n].set(rng.uniform(0.5, 2, n)),
+        )
+        dirs = rng.randn(n, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        ln = PairsPt2Ln.empty(32)
+        ln = dataclasses.replace(
+            ln,
+            local=ln.local.at[:n].set(rng.randn(n, 3).astype(np.float32)),
+            line_point=ln.line_point.at[:n].set(cents),
+            line_dir=ln.line_dir.at[:n].set(dirs),
+            weight=ln.weight.at[:n].set(rng.uniform(0.5, 2, n)),
+        )
+        p = dataclasses.replace(p, pt2pl=pl, pt2ln=ln)
+        pose = se3.compose(gt, se3.exp(jnp.asarray([0.1, -0.05, 0.02,
+                                                    0.03, 0.01, -0.02])))
+        for kernel in (RobustKernel.NONE, RobustKernel.GEMAN_MCCLURE):
+            params = GNParams(kernel=kernel, kernel_param=0.3)
+            H1, g1, e1 = gn_build_normal_equations(pose, p, params)
+            H2, g2, e2 = self._general_Hg(pose, p, params)
+            np.testing.assert_allclose(np.asarray(H1), np.asarray(H2),
+                                       rtol=1e-3, atol=1e-3)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=1e-3, atol=1e-3)
+            np.testing.assert_allclose(float(e1), float(e2), rtol=1e-3)

@@ -1,0 +1,109 @@
+"""Quality evaluator tests (reference category 7:
+test-mp2p_quality_reproject_ranges.cpp / test-mp2p_quality_voxels.cpp)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.core.metric_map import VoxelGridLayer
+from mp2p_icp_tpu.core.pointcloud import PointCloud
+from mp2p_icp_tpu.core.pairings import Pairings
+from mp2p_icp_tpu.quality.paired_ratio import QualityPairedRatio
+from mp2p_icp_tpu.quality.range_image import (
+    QualityRangeImageSimilarity,
+    project_range_image,
+)
+from mp2p_icp_tpu.quality.voxels import QualityVoxels
+from mp2p_icp_tpu.ops.voxel_occupancy import update_voxel_map
+
+
+def room_cloud(rng, n=2000):
+    """Points on walls around the origin (visible from a camera at 0)."""
+    walls = []
+    for x in (4.0, 8.0):
+        walls.append(
+            np.stack(
+                [np.full(n // 2, x), rng.uniform(-3, 3, n // 2),
+                 rng.uniform(-1, 2, n // 2)], 1)
+        )
+    return np.concatenate(walls).astype(np.float32)
+
+
+class TestRangeImage:
+    def test_projection_zbuffer(self):
+        # two points in the same pixel: nearest wins
+        xyz = jnp.asarray([[5.0, 0, 0], [9.0, 0.001, 0.001]], jnp.float32)
+        img = project_range_image(
+            xyz, jnp.ones(2, bool), ncols=100, nrows=60,
+            fx=50, fy=50, cx=50, cy=30,
+        )
+        center = np.asarray(img)[30, 50]
+        assert abs(center - 5.0) < 0.01
+
+    def test_identical_clouds_score_high(self):
+        rng = np.random.RandomState(0)
+        pc = PointCloud.from_numpy(room_cloud(rng))
+        q = QualityRangeImageSimilarity()
+        r_same = q.evaluate_clouds(pc, pc, se3.identity())
+        # badly misaligned local
+        bad = se3.from_xyz_ypr(3.0, 1.0, 0, 0.6, 0, 0)
+        r_bad = q.evaluate_clouds(pc, pc, bad)
+        assert float(r_same.quality) > float(r_bad.quality)
+        assert float(r_same.quality) > 0.8
+
+    def test_in_pipeline_dict_interface(self):
+        rng = np.random.RandomState(1)
+        pc = PointCloud.from_numpy(room_cloud(rng))
+        q = QualityRangeImageSimilarity()
+        out = q.evaluate(None, global_map={"raw": pc}, local_map={"raw": pc},
+                         pose=se3.identity())
+        assert 0.0 <= float(out.quality) <= 1.0
+
+
+class TestVoxelsQuality:
+    def test_agreeing_maps_score_higher(self):
+        rng = np.random.RandomState(2)
+        pts = jnp.asarray(rng.uniform(2, 6, (200, 3)), jnp.float32)
+        vg_a = update_voxel_map(
+            VoxelGridLayer.empty(4096, 0.5), pts, jnp.ones(200, bool),
+            jnp.zeros(3), carve_free_space=False,
+        )
+        vg_b = update_voxel_map(
+            VoxelGridLayer.empty(4096, 0.5), pts, jnp.ones(200, bool),
+            jnp.zeros(3), carve_free_space=False,
+        )
+        other = jnp.asarray(rng.uniform(-8, -2, (200, 3)), jnp.float32)
+        vg_c = update_voxel_map(
+            VoxelGridLayer.empty(4096, 0.5), other, jnp.ones(200, bool),
+            jnp.zeros(3), carve_free_space=False,
+        )
+        q = QualityVoxels()
+        same = q.evaluate_voxels(vg_a, vg_b, se3.identity())
+        diff = q.evaluate_voxels(vg_a, vg_c, se3.identity())
+        assert float(same.quality) > float(diff.quality)
+
+
+class TestPairedRatioEmbeddedMatcher:
+    def test_rematch_mode(self):
+        from mp2p_icp_tpu.matchers import MatcherPointsDistanceThreshold
+        from mp2p_icp_tpu.matchers.base import MatchContext
+
+        rng = np.random.RandomState(3)
+        pts = rng.uniform(-5, 5, (300, 3)).astype(np.float32)
+        g = {"raw": PointCloud.from_numpy(pts)}
+        l = {"raw": PointCloud.from_numpy(pts + 0.01)}
+        q = QualityPairedRatio(
+            reuse_icp_pairings=False,
+            matcher=MatcherPointsDistanceThreshold(
+                threshold=0.1,
+                allow_match_already_matched_global_points=True,
+            ),
+        )
+        out = q.evaluate(
+            Pairings.empty(1), grids={}, global_map=g, local_map=l,
+            pose=se3.identity(),
+            ctx=MatchContext(icp_iteration=jnp.asarray(0, jnp.int32)),
+        )
+        assert float(out.quality) > 0.9  # nearly all points re-matched
