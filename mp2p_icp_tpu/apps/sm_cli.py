@@ -101,6 +101,23 @@ def cmd_level(args):
     return 0
 
 
+def cmd_trim(args):
+    """Keep only keyframes whose pose translation lies inside a bounding box
+    (reference: apps/sm-cli/sm-cli-trim.cpp:37-46)."""
+    sm = _load(args.input)
+    lo = np.array([float(x) for x in args.min_corner.split()])
+    hi = np.array([float(x) for x in args.max_corner.split()])
+    kept = [
+        kf
+        for kf in sm.keyframes
+        if np.all(np.asarray(kf.pose.t) >= lo) and np.all(np.asarray(kf.pose.t) <= hi)
+    ]
+    sm.keyframes = kept
+    sm.save(args.output)
+    print(f"wrote {args.output}: {len(kept)} keyframes (trimmed)")
+    return 0
+
+
 def cmd_export_kfs(args):
     """Export keyframe poses in TUM format (x y z qx qy qz qw)."""
     from mp2p_icp_tpu.core import se3
@@ -149,6 +166,13 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
     p.set_defaults(fn=cmd_level)
+
+    p = sub.add_parser("trim")
+    p.add_argument("input")
+    p.add_argument("--min-corner", required=True, help="'xmin ymin zmin'")
+    p.add_argument("--max-corner", required=True, help="'xmax ymax zmax'")
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_trim)
 
     p = sub.add_parser("export-kfs")
     p.add_argument("input")

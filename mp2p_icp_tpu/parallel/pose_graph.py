@@ -115,6 +115,190 @@ def optimize_pose_graph(
     return final_poses, final_chi2
 
 
+def _edge_terms(poses: Pose, edges: PoseGraphEdges):
+    """Per-edge weighted Jacobian products used by both the dense assembly
+    and the matrix-free path: (r, Ji, Jj, Li, Lj) with L* = w J*ᵀ Ω."""
+    r, Ji, Jj = edge_residuals(poses, edges)
+    w = edges.valid.astype(jnp.float32)
+    Li = jnp.einsum("e,eab,ebc->eac", w, jnp.swapaxes(Ji, 1, 2), edges.information)
+    Lj = jnp.einsum("e,eab,ebc->eac", w, jnp.swapaxes(Jj, 1, 2), edges.information)
+    return r, Ji, Jj, Li, Lj
+
+
+def _hvp(edges: PoseGraphEdges, Ji, Jj, Li, Lj, v, n_nodes: int):
+    """H @ v without materializing H: per-edge gather, 6x6 matvecs, scatter.
+
+    v: [N, 6]. Returns [N, 6]. O(E) work and memory — the TPU-native
+    condensed-system product for graphs too large for the dense [6N, 6N]
+    assembly (SURVEY.md §2.6 'distributed pose-graph/BA').
+    """
+    vi = v[edges.i]  # [E, 6]
+    vj = v[edges.j]
+    # Jv = Ji vi + Jj vj  (residual-space directional derivative)
+    Jv = jnp.einsum("eab,eb->ea", Ji, vi) + jnp.einsum("eab,eb->ea", Jj, vj)
+    # scatter back JᵀΩ(Jv):  Li/Lj already fold w and Ω
+    out = jnp.zeros((n_nodes, 6), v.dtype)
+    out = out.at[edges.i].add(jnp.einsum("eab,eb->ea", Li, Jv))
+    out = out.at[edges.j].add(jnp.einsum("eab,eb->ea", Lj, Jv))
+    return out
+
+
+def _block_diag_sums(edges: PoseGraphEdges, Ji, Jj, Li, Lj, n_nodes: int):
+    """Per-node 6x6 diagonal block sums of H (before gauge/damping)."""
+    Hii = jnp.einsum("eab,ebc->eac", Li, Ji)
+    Hjj = jnp.einsum("eab,ebc->eac", Lj, Jj)
+    D = jnp.zeros((n_nodes, 6, 6), jnp.float32)
+    D = D.at[edges.i].add(Hii)
+    D = D.at[edges.j].add(Hjj)
+    return D
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphCGParams:
+    max_iterations: int = 10
+    cg_iterations: int = 50
+    damping: float = 1e-4
+    gauge_weight: float = 1e6
+    cg_tol: float = 1e-8
+
+
+def optimize_pose_graph_cg(
+    poses: Pose,
+    edges: PoseGraphEdges,
+    params: PoseGraphCGParams = PoseGraphCGParams(),
+    mesh=None,
+    axis: str = "data",
+):
+    """Matrix-free Gauss-Newton pose-graph optimisation for large graphs.
+
+    The normal system H δ = -g is solved by block-Jacobi-preconditioned
+    conjugate gradients where H@v is evaluated edge-wise (gather → 6x6
+    matvec → scatter-add), so memory is O(N + E) instead of O(N²). With a
+    ``mesh``, edges are sharded over ``axis`` and every edge-wise reduction
+    (g, H@v, preconditioner blocks, chi²) is ``psum``-reduced over ICI —
+    the distributed condensed-system back-end of SURVEY.md §2.6/§5.8
+    (greenfield; the reference has only per-pair covariance,
+    covariance.cpp:30-141).
+
+    Returns (poses, final_chi2).
+    """
+    N = poses.t.shape[0]
+
+    def gn_step(poses, edges_shard):
+        r, Ji, Jj, Li, Lj = _edge_terms(poses, edges_shard)
+        g = jnp.zeros((N, 6), jnp.float32)
+        g = g.at[edges_shard.i].add(jnp.einsum("eab,eb->ea", Li, r))
+        g = g.at[edges_shard.j].add(jnp.einsum("eab,eb->ea", Lj, r))
+        w = edges_shard.valid.astype(jnp.float32)
+        chi2 = jnp.sum(w * jnp.einsum("ea,eab,eb->e", r, edges_shard.information, r))
+        D = _block_diag_sums(edges_shard, Ji, Jj, Li, Lj, N)
+        if mesh is not None:
+            g = jax.lax.psum(g, axis)
+            chi2 = jax.lax.psum(chi2, axis)
+            D = jax.lax.psum(D, axis)
+        D = D.at[0].add(params.gauge_weight * jnp.eye(6))
+        Minv = jnp.linalg.inv(D + params.damping * jnp.eye(6))
+
+        def A(v):
+            hv = _hvp(edges_shard, Ji, Jj, Li, Lj, v, N)
+            if mesh is not None:
+                hv = jax.lax.psum(hv, axis)
+            hv = hv.at[0].add(params.gauge_weight * v[0])
+            return hv + params.damping * v
+
+        def precond(v):
+            return jnp.einsum("nab,nb->na", Minv, v)
+
+        # PCG on A δ = -g
+        b = -g
+        x = jnp.zeros_like(b)
+        rres = b - A(x)
+        z = precond(rres)
+        p = z
+        rz = jnp.sum(rres * z)
+
+        def cg_body(_, carry):
+            x, rres, p, rz = carry
+            Ap = A(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            x2 = x + alpha * p
+            r2 = rres - alpha * Ap
+            z2 = precond(r2)
+            rz2 = jnp.sum(r2 * z2)
+            beta = rz2 / jnp.maximum(rz, 1e-30)
+            p2 = z2 + beta * p
+            # freeze once converged (static trip count, masked updates)
+            live = rz >= params.cg_tol
+            x2 = jnp.where(live, x2, x)
+            r2 = jnp.where(live, r2, rres)
+            p2 = jnp.where(live, p2, p)
+            rz2 = jnp.where(live, rz2, rz)
+            return x2, r2, p2, rz2
+
+        x, _, _, _ = jax.lax.fori_loop(
+            0, params.cg_iterations, cg_body, (x, rres, p, rz)
+        )
+        delta = jnp.where(jnp.isfinite(x), x, 0.0)
+        new = jax.vmap(
+            lambda R, t, d: se3.compose(Pose(R, t), se3.exp(d))
+        )(poses.R, poses.t, delta)
+        return new, chi2
+
+    if mesh is None:
+
+        @jax.jit
+        def run(poses, edges):
+            def body(_, carry):
+                p, _ = carry
+                return gn_step(p, edges)
+
+            return jax.lax.fori_loop(
+                0, params.max_iterations, body, (poses, jnp.asarray(0.0))
+            )
+
+        return run(poses, edges)
+
+    from jax.sharding import PartitionSpec as P
+
+    import functools
+
+    try:
+        from jax import shard_map as _sm
+        shard_map = functools.partial(_sm, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sme
+        shard_map = functools.partial(_sme, check_rep=False)
+
+    n_dev = mesh.shape[axis]
+    E = edges.i.shape[0]
+    if E % n_dev != 0:
+        raise ValueError(
+            f"edge count {E} not divisible by mesh axis size {n_dev}; pad "
+            "with valid=False edges"
+        )
+    edge_spec = PoseGraphEdges(
+        i=P(axis), j=P(axis), z=Pose(P(axis), P(axis)),
+        information=P(axis), valid=P(axis),
+    )
+    sharded_step = shard_map(
+        gn_step, mesh=mesh,
+        in_specs=(Pose(P(), P()), edge_spec),
+        out_specs=(Pose(P(), P()), P()),
+    )
+
+    @jax.jit
+    def run(poses, edges):
+        def body(_, carry):
+            p, _ = carry
+            return sharded_step(p, edges)
+
+        return jax.lax.fori_loop(
+            0, params.max_iterations, body, (poses, jnp.asarray(0.0))
+        )
+
+    return run(poses, edges)
+
+
 def optimize_pose_graph_sharded(
     poses: Pose,
     edges: PoseGraphEdges,
@@ -132,8 +316,16 @@ def optimize_pose_graph_sharded(
     The edge count must be divisible by the axis size (pad with
     valid=False edges).
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    import functools
+
+    try:
+        from jax import shard_map as _sm
+        shard_map = functools.partial(_sm, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sme
+        shard_map = functools.partial(_sme, check_rep=False)
 
     N = poses.t.shape[0]
     n_dev = mesh.shape[axis]
@@ -170,7 +362,6 @@ def optimize_pose_graph_sharded(
         mesh=mesh,
         in_specs=(Pose(P(), P()), edge_spec),
         out_specs=(Pose(P(), P()), P()),
-        check_rep=False,
     )
 
     @jax.jit

@@ -513,6 +513,15 @@ def icp_pipeline_from_yaml(
         raise ValueError(f"Unknown ICP class: {class_name}")
 
     p = cfg.get("params", {}) or {}
+
+    # optional plugin module with user classes
+    # (reference: icp_pipeline_from_yaml.cpp:34-38)
+    plugin = cfg.get("plugin") or p.get("plugin")
+    if plugin:
+        from mp2p_icp_tpu.pipeline.plugins import load_plugin
+
+        load_plugin(str(plugin))
+
     checkpoints = tuple(
         sorted(
             (int(k), float(v))

@@ -66,6 +66,26 @@ class TestSmCli:
             np.asarray(sm.keyframes[0].pose.t), [10, 0, 0], atol=1e-5
         )
 
+    def test_trim(self, tmp_path):
+        # keyframes at x = 0,1,2,3 — trim keeps those inside the bbox
+        # (reference: sm-cli-trim.cpp:37-46)
+        from mp2p_icp_tpu.apps import sm_cli
+        from mp2p_icp_tpu.filters.sm2mm import SimpleMap
+
+        a = str(tmp_path / "a.sm.npz")
+        make_sm(a)
+        o = str(tmp_path / "trim.sm.npz")
+        assert sm_cli.main([
+            "trim", a,
+            "--min-corner", "0.5 -10 -10",
+            "--max-corner", "2.5 10 10",
+            "-o", o,
+        ]) == 0
+        sm = SimpleMap.load(o)
+        assert len(sm.keyframes) == 2
+        xs = [float(np.asarray(kf.pose.t)[0]) for kf in sm.keyframes]
+        assert xs == [1.0, 2.0]
+
     def test_export_kfs(self, tmp_path):
         from mp2p_icp_tpu.apps import sm_cli
 
