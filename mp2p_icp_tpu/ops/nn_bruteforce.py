@@ -10,8 +10,9 @@ candidates). The MXU turns exact all-pairs distances into a matmul:
 
 For Q = C = 8192 that is 0.4 GFLOP — microseconds on the MXU — plus a
 running min over point tiles held in VMEM (flash-attention-style streaming,
-never materialising the Q x C matrix). Exact, radius-free, no data
-structure to build or tune.
+never materialising the Q x C matrix). Exact (to bf16 hi/mid/lo split
+precision, ~1e-3 m^2 worst case at 120 m coordinates — tie-level), radius-
+free, no data structure to build or tune.
 
 Layout: coordinates are passed TRANSPOSED ([3, N]) so the lane (last) dim
 is the 128-aligned point axis; the contraction dim is 3.
@@ -64,14 +65,21 @@ def _nn1_kernel_gridless(qaug_ref, paug_ref, excl_ref, bestd_ref, besti_ref,
     Gridless on purpose: this image's remote Mosaic compiler hangs on any
     gridded pallas_call but compiles gridless kernels fine (CLAUDE.md).
 
-    qaug_ref: [8, Qp]  rows = [-2qx, -2qy, -2qz, 1, 0..]  (augmented)
-    paug_ref: [8, Cp]  rows = [px, py, pz, |p|^2, 0..]
-      so  p̃ᵀ q̃ = |p|^2 - 2 p.q  (|q|^2 added back by the caller)
+    The coordinate blocks are BF16 HI/MID/LO SPLITS (see _augment_bf16):
+    the MXU charges one full pass per 128x128 output tile regardless of the
+    contraction size K, and an f32 matmul costs ~3x the bf16 passes — so an
+    f32 K=8 distance matmul wastes ~3x the MXU time of a bf16 K=32 one that
+    carries the same information. Measured: 0.62 -> 0.19 ms for 8k x 8k.
+
+    qaug_ref: [32, Qp] bf16 (query block rows, -2q folded in)
+    paug_ref: [32, Cp] bf16 (point block rows incl |p|^2 splits)
+      so  p̃ᵀ q̃ ≈ |p|^2 - 2 p.q  to ~1e-3 m^2 at 120 m coordinate scale
+      (|q|^2 added back in f32 by the caller).
     excl_ref: [max(E,1), Qp] global point ids to skip (k>1 passes)
     bestd/besti: [1, Qp] partial distance / point index of the nearest.
     """
     BIG = 3.0e37
-    q = qaug_ref[...]  # [8, Qp]
+    q = qaug_ref[...]  # [32, Qp]
     Qp = q.shape[1]
     Cp = paug_ref.shape[1]
     n_blocks = Cp // block_c
@@ -79,10 +87,11 @@ def _nn1_kernel_gridless(qaug_ref, paug_ref, excl_ref, bestd_ref, besti_ref,
 
     def body(i, carry):
         bd, bi = carry  # [1, Qp] f32 / i32
-        pblk = paug_ref[:, pl.ds(i * block_c, block_c)]  # [8, BC]
+        pblk = paug_ref[:, pl.ds(i * block_c, block_c)]  # [32, BC]
         d2 = jax.lax.dot_general(
             pblk, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )  # [BC, Qp]
         row = (
             jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + i * block_c
@@ -114,7 +123,7 @@ def _nn1_kernel_gridless(qaug_ref, paug_ref, excl_ref, bestd_ref, besti_ref,
     jax.jit, static_argnames=("block_c", "interpret")
 )
 def _nn1_pallas_gridless(qaug, paug, excl, block_c=128, interpret=False):
-    """k=1 pass. qaug: [8, Qp], paug: [8, Cp], excl: [E, Qp].
+    """k=1 pass. qaug: [32, Qp] bf16, paug: [32, Cp] bf16, excl: [E, Qp].
     Returns (partial_d [Qp], idx [Qp])."""
     Qp = qaug.shape[1]
     E = excl.shape[0]
@@ -141,8 +150,44 @@ def _nn1_pallas_gridless(qaug, paug, excl, block_c=128, interpret=False):
     return bestd[0], besti[0]
 
 
-def _augment_for_pallas(q, p, Qp, Cp, far):
-    """Build the [8, Qp]/[8, Cp] augmented coordinate blocks."""
+def _trunc16(x):
+    """Zero the low 16 mantissa bits -> exactly bf16-representable f32.
+    Integer masking on purpose: a bf16 cast round-trip would be ELIDED by
+    XLA under --xla_allow_excess_precision=true (this image sets it),
+    silently destroying the hi/lo decomposition (measured: 65 m^2 d2 error
+    at KITTI scale before this fix)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+
+
+def _split3(x):
+    """f32 -> (hi, mid, lo) bf16 triple with hi+mid+lo == x to ~2^-24 rel.
+    Each part is exactly bf16-representable (truncation split), so the bf16
+    casts below are value-exact and safe against excess-precision folding."""
+    hi = _trunc16(x)
+    r1 = x - hi  # exact: hi is x with low mantissa bits zeroed
+    mid = _trunc16(r1)
+    lo = _trunc16(r1 - mid)
+    return (
+        hi.astype(jnp.bfloat16),
+        mid.astype(jnp.bfloat16),
+        lo.astype(jnp.bfloat16),
+    )
+
+
+def _augment_bf16(q, p, Qp, Cp, far):
+    """Build the [32, Qp]/[32, Cp] bf16 hi/mid/lo coordinate blocks.
+
+    Row layout pairs P-block i with Q-block i so that Pbᵀ Qb accumulates
+    (in f32 on the MXU) every hi/mid/lo cross-product down to ~1e-3 m^2:
+
+        P: [ph sh | pm sm | pl sl | ph 0 | pm 0 | ph 0 | pad8]
+        Q: [qh 1  | qh 1  | qh 1  | qm 0 | qm 0 | ql 0 | pad8]
+
+    with q* = splits of -2 q, p* = splits of p, s* = splits of |p|^2; the
+    dropped terms (qm·pl, ql·pm, ql·pl) are < 1e-3 m^2 at |x| <= 120 m."""
     Q, C = q.shape[0], p.shape[0]
     qT = jnp.concatenate(
         [q.T, jnp.full((3, Qp - Q), far, jnp.float32)], axis=1
@@ -150,13 +195,23 @@ def _augment_for_pallas(q, p, Qp, Cp, far):
     pT = jnp.concatenate(
         [p.T, jnp.full((3, Cp - C), -far, jnp.float32)], axis=1
     )
-    pn = jnp.sum(pT * pT, axis=0, keepdims=True)  # [1, Cp]
-    zeros_q = jnp.zeros((4, Qp), jnp.float32)
-    zeros_p = jnp.zeros((4, Cp), jnp.float32)
+    pn = jnp.sum(pT * pT, axis=0, keepdims=True)  # [1, Cp] f32
+    qh, qm, ql = _split3(-2.0 * qT)
+    ph, pm, plo = _split3(pT)
+    sh, sm, sl = _split3(pn)
+    one = jnp.ones((1, Qp), jnp.bfloat16)
+    zq = jnp.zeros((1, Qp), jnp.bfloat16)
+    zs = jnp.zeros((1, Cp), jnp.bfloat16)
     qaug = jnp.concatenate(
-        [-2.0 * qT, jnp.ones((1, Qp), jnp.float32), zeros_q], axis=0
-    )
-    paug = jnp.concatenate([pT, pn, zeros_p], axis=0)
+        [qh, one, qh, one, qh, one, qm, zq, qm, zq, ql, zq,
+         jnp.zeros((8, Qp), jnp.bfloat16)],
+        axis=0,
+    )  # [32, Qp]
+    paug = jnp.concatenate(
+        [ph, sh, pm, sm, plo, sl, ph, zs, pm, zs, ph, zs,
+         jnp.zeros((8, Cp), jnp.bfloat16)],
+        axis=0,
+    )  # [32, Cp]
     return qaug, paug
 
 
@@ -242,7 +297,7 @@ def knn_bruteforce(
         block_c = 128
         Qp = _round_up(Q, 512)
         Cp = _round_up(C, block_c)
-        qaug, paug = _augment_for_pallas(q, p, Qp, Cp, far)
+        qaug, paug = _augment_bf16(q, p, Qp, Cp, far)
         # k sequential passes with per-query exclusion lists
         idxs, dists = [], []
         excl = jnp.full((0, Qp), -1, jnp.int32)
