@@ -204,70 +204,82 @@ class ICP:
             adjusted.append(m)
         return tuple(adjusted)
 
-    # ------------------------------------------------------------- matchers
-    def _run_matchers(self, matchers, grids, global_layers, local_layers, pose, iteration):
-        """Sequentially run all matchers, concatenating their fixed-capacity
-        blocks into one Pairings (reference: run_matchers, Matcher.cpp:35-87)."""
-        # The paired-bitfield bookkeeping only matters when several matchers
-        # can run in the SAME iteration (reference: bitfields deduplicate
-        # across the matcher pipeline). With a single matcher — or matchers
-        # whose iteration windows are statically disjoint (the KITTI
-        # schedule) — skip it entirely: its gathers/scatters on small
-        # tensors are ~ms-class on this TPU.
-        def _window(m):
-            lo = m.run_from_iteration
-            hi = m.run_up_to_iteration if m.run_up_to_iteration > 0 else 10**9
-            return lo, hi
+    # ------------------------------------------------------------- schedule
+    @staticmethod
+    def _module_window(m, max_iter: int):
+        lo = m.run_from_iteration
+        hi = m.run_up_to_iteration if m.run_up_to_iteration > 0 else max_iter
+        return lo, min(hi, max_iter)
 
-        overlapping = False
-        for a in range(len(matchers)):
-            for b in range(a + 1, len(matchers)):
-                la, ha = _window(matchers[a])
-                lb, hb = _window(matchers[b])
-                if max(la, lb) <= min(ha, hb):
-                    overlapping = True
+    def _schedule_segments(self, params, matchers):
+        """Cut [0, max_iterations) at every module window boundary and
+        return [(a, b, active_matcher_flags, active_solver_flags), ...].
+
+        Module iteration windows (runFromIteration/runUpToIteration,
+        reference: Matcher.h:99-101, Solver.h:91-97) are STATIC, so instead
+        of gating modules at runtime the align loop runs one
+        lax.while_loop per segment containing ONLY that segment's active
+        modules. This matters doubly under vmap (batched registration):
+        a lax.cond there executes BOTH branches, so e.g. the KITTI
+        Horn->GN schedule would pay every matcher and solver every
+        iteration (measured 55 -> 21 ms per 8-batch after segmentation)."""
+        mods = list(matchers) + list(self.solvers)
+        bounds = {0, params.max_iterations}
+        for m in mods:
+            lo, hi = self._module_window(m, params.max_iterations)
+            bounds.add(min(lo, params.max_iterations))
+            bounds.add(min(hi + 1, params.max_iterations))
+        cuts = sorted(bounds)
+        segs = []
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            def covers(m):
+                lo, hi = self._module_window(m, params.max_iterations)
+                return m.enabled and lo <= a and hi >= b - 1
+
+            segs.append(
+                (
+                    a,
+                    b,
+                    tuple(covers(m) for m in matchers),
+                    tuple(covers(s) for s in self.solvers),
+                )
+            )
+        return segs
+
+    # ------------------------------------------------------------- matchers
+    def _run_matchers(self, matchers, active, grids, global_layers,
+                      local_layers, pose, iteration):
+        """Run the segment's active matchers, concatenating their
+        fixed-capacity blocks into one Pairings (reference: run_matchers,
+        Matcher.cpp:35-87). Inactive matchers contribute all-zero blocks —
+        statically, so XLA dead-code-eliminates them — keeping the Pairings
+        pytree structure identical across schedule segments."""
+        # The paired-bitfield bookkeeping only matters when several matchers
+        # run in the SAME segment (reference: bitfields deduplicate across
+        # the matcher pipeline). Windowed single-matcher segments (the KITTI
+        # schedule) skip it entirely: its gathers/scatters on small tensors
+        # are ~ms-class on this TPU.
         state = (
             MatchState.create(local_layers, global_layers)
-            if overlapping else None
+            if sum(active) > 1 else None
         )
         ctx = MatchContext(icp_iteration=iteration)
         acc: Dict[str, list] = {k: [] for k in ("pt2pt", "pt2ln", "pt2pl", "ln2ln", "pl2pl")}
         potential = jnp.asarray(0, jnp.int32)
-        for m in matchers:
-            # Skip gated-off matchers at runtime with lax.cond — e.g. the
-            # KITTI schedule alternates DistanceThreshold (iters 0-5) and
-            # Adaptive (6+); without the cond BOTH run every iteration with
-            # zeroed weights, doubling per-iteration matcher cost.
-            statically_on = (
-                m.enabled
-                and m.run_from_iteration == 0
-                and m.run_up_to_iteration == 0
-            )
-            if statically_on:
-                blocks, state, pot = m.match(
+        for m, on in zip(matchers, active):
+            def run_m(m=m, state=state):
+                return m.match(
                     grids, global_layers, local_layers, pose, state, ctx
                 )
+
+            if on:
+                blocks, state, pot = run_m()
             else:
-                def run_m(m=m, state=state):
-                    return m.match(
-                        grids, global_layers, local_layers, pose, state, ctx
-                    )
-
                 shapes = jax.eval_shape(run_m)
-
-                def skip_m(shapes=shapes, state=state):
-                    zero_blocks = jax.tree_util.tree_map(
-                        lambda s: jnp.zeros(s.shape, s.dtype), shapes[0]
-                    )
-                    return (
-                        zero_blocks,
-                        state,
-                        jnp.asarray(0, jnp.int32),
-                    )
-
-                blocks, state, pot = jax.lax.cond(
-                    m.gate(iteration) > 0, run_m, skip_m
+                blocks = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes[0]
                 )
+                pot = jnp.asarray(0, jnp.int32)
             potential = potential + pot
             for k, v in blocks.items():
                 acc[k].append(v)
@@ -292,13 +304,26 @@ class ICP:
         )
 
     # -------------------------------------------------------------- solvers
-    def _run_solvers(self, pairings, pose, iteration, guess, prior):
+    def _run_solvers(self, pairings, pose, iteration, guess, prior, active):
         """First enabled solver wins (reference: ICP::run_solvers,
-        ICP.cpp:469-479) — realised as a reverse lax.cond chain."""
+        ICP.cpp:469-479). Iteration windows are resolved statically by the
+        schedule segmentation (``active``); only the dynamic
+        runUntilTranslationCorrectionSmallerThan gate (Solver.h:91-97)
+        still needs a runtime cond chain."""
+        solvers = [s for s, on in zip(self.solvers, active) if on]
+        if not solvers:
+            return pose
+        dynamic = any(
+            s.run_until_translation_correction_smaller_than > 0
+            for s in solvers
+        )
+        if not dynamic:
+            # first statically-active solver wins outright
+            return solvers[0].solve(pairings, pose, prior)
         corr = jnp.linalg.norm(pose.t - guess.t)
         result = pose
         taken = jnp.asarray(False)
-        for s in self.solvers:
+        for s in solvers:
             g = s.gate(iteration, corr) & ~taken
             result = jax.lax.cond(
                 g,
@@ -351,71 +376,79 @@ class ICP:
         eps_t = params.min_abs_step_trans
         eps_r = params.min_abs_step_rot
 
-        def body(carry: _LoopCarry) -> _LoopCarry:
-            pairings = self._run_matchers(
-                matchers, grids, g_layers, l_layers, carry.pose, carry.iteration
-            )
-            no_pairs = pairings.size() == 0
-            new_pose = self._run_solvers(
-                pairings, carry.pose, carry.iteration, guess, prior
-            )
-            solver_ok = jnp.all(jnp.isfinite(new_pose.t)) & jnp.all(
-                jnp.isfinite(new_pose.R)
-            )
-            # step-size + oscillation termination (reference: ICP.cpp:191-229)
-            dt1, dr1 = se3.delta_norms(carry.pose, new_pose)
-            dt2, dr2 = se3.delta_norms(carry.prev_pose, new_pose)
-            stalled = ((dt1 < eps_t) & (dr1 < eps_r)) | (
-                (dt2 < eps_t) & (dr2 < eps_r)
-            )
-            # quality checkpoints (reference: ICP.cpp:259-283) — evaluated on
-            # the in-loop pairing ratio
-            q = pairings.size().astype(jnp.float32) / jnp.maximum(
-                pairings.potential_pairings.astype(jnp.float32), 1.0
-            )
-            cp_fail = jnp.asarray(False)
-            for it, min_q in params.quality_checkpoints:
-                cp_fail = cp_fail | ((carry.iteration == it) & (q < min_q))
+        def make_body(m_active, s_active):
+            def body(carry: _LoopCarry) -> _LoopCarry:
+                pairings = self._run_matchers(
+                    matchers, m_active, grids, g_layers, l_layers,
+                    carry.pose, carry.iteration
+                )
+                no_pairs = pairings.size() == 0
+                new_pose = self._run_solvers(
+                    pairings, carry.pose, carry.iteration, guess, prior,
+                    s_active,
+                )
+                solver_ok = jnp.all(jnp.isfinite(new_pose.t)) & jnp.all(
+                    jnp.isfinite(new_pose.R)
+                )
+                # step-size + oscillation termination (ICP.cpp:191-229)
+                dt1, dr1 = se3.delta_norms(carry.pose, new_pose)
+                dt2, dr2 = se3.delta_norms(carry.prev_pose, new_pose)
+                stalled = ((dt1 < eps_t) & (dr1 < eps_r)) | (
+                    (dt2 < eps_t) & (dr2 < eps_r)
+                )
+                # quality checkpoints (reference: ICP.cpp:259-283) —
+                # evaluated on the in-loop pairing ratio
+                q = pairings.size().astype(jnp.float32) / jnp.maximum(
+                    pairings.potential_pairings.astype(jnp.float32), 1.0
+                )
+                cp_fail = jnp.asarray(False)
+                for it, min_q in params.quality_checkpoints:
+                    cp_fail = cp_fail | (
+                        (carry.iteration == it) & (q < min_q)
+                    )
 
-            reason = jnp.where(
-                no_pairs,
-                IterTermReason.NO_PAIRINGS,
-                jnp.where(
-                    ~solver_ok,
-                    IterTermReason.SOLVER_ERROR,
+                reason = jnp.where(
+                    no_pairs,
+                    IterTermReason.NO_PAIRINGS,
                     jnp.where(
-                        cp_fail,
-                        IterTermReason.QUALITY_CHECKPOINT_FAILED,
-                        jnp.where(stalled, IterTermReason.STALLED, _RUNNING),
+                        ~solver_ok,
+                        IterTermReason.SOLVER_ERROR,
+                        jnp.where(
+                            cp_fail,
+                            IterTermReason.QUALITY_CHECKPOINT_FAILED,
+                            jnp.where(
+                                stalled, IterTermReason.STALLED, _RUNNING
+                            ),
+                        ),
                     ),
-                ),
-            ).astype(jnp.int32)
-            keep_new = solver_ok & ~no_pairs
-            pose_out = Pose(
-                jnp.where(keep_new, new_pose.R, carry.pose.R),
-                jnp.where(keep_new, new_pose.t, carry.pose.t),
-            )
-            return _LoopCarry(
-                pose=pose_out,
-                prev_pose=carry.pose,
-                prev2_pose=carry.prev_pose,
-                iteration=carry.iteration + 1,
-                reason=reason,
-                pairings=pairings,
-            )
+                ).astype(jnp.int32)
+                keep_new = solver_ok & ~no_pairs
+                pose_out = Pose(
+                    jnp.where(keep_new, new_pose.R, carry.pose.R),
+                    jnp.where(keep_new, new_pose.t, carry.pose.t),
+                )
+                return _LoopCarry(
+                    pose=pose_out,
+                    prev_pose=carry.pose,
+                    prev2_pose=carry.prev_pose,
+                    iteration=carry.iteration + 1,
+                    reason=reason,
+                    pairings=pairings,
+                )
 
-        def cond(carry: _LoopCarry):
-            return (carry.reason == _RUNNING) & (
-                carry.iteration < params.max_iterations
-            )
+            return body
 
-        # The loop body always executes at least once (init reason=_RUNNING)
-        # and recomputes pairings at iteration 0, so the carry only needs a
-        # structurally-correct placeholder — zeros, which XLA dead-code
-        # eliminates (a real matcher run here wasted ~1.4 ms/align).
+        # The first segment's body always executes at least once (init
+        # reason=_RUNNING) and recomputes pairings at iteration 0, so the
+        # carry only needs a structurally-correct placeholder — zeros, which
+        # XLA dead-code eliminates (a real matcher run here wasted
+        # ~1.4 ms/align). All-True active flags give the full concatenated
+        # block structure shared by every segment.
+        segments = self._schedule_segments(params, matchers)
         init_shapes = jax.eval_shape(
             lambda pose, it: self._run_matchers(
-                matchers, grids, g_layers, l_layers, pose, it
+                matchers, (True,) * len(matchers), grids, g_layers,
+                l_layers, pose, it
             ),
             guess,
             jnp.asarray(0, jnp.int32),
@@ -434,22 +467,46 @@ class ICP:
         iter_poses = None
         iter_counts = None
         if params.record_iterations:
-            # bounded scan: after termination the carry is held frozen, so
+            # bounded scans: after termination the carry is held frozen, so
             # the recorded tail repeats the final state
-            def scan_body(carry, _):
-                new_carry = jax.lax.cond(
-                    cond(carry), lambda c: body(c), lambda c: c, carry
-                )
-                return new_carry, (
-                    new_carry.pose,
-                    new_carry.pairings.size(),
-                )
+            carry = init
+            rec_p, rec_c = [], []
+            for a, b, m_act, s_act in segments:
+                body = make_body(m_act, s_act)
 
-            final, (iter_poses, iter_counts) = jax.lax.scan(
-                scan_body, init, None, length=params.max_iterations
+                def scan_body(carry, _, body=body, b=b):
+                    run = (carry.reason == _RUNNING) & (carry.iteration < b)
+                    new_carry = jax.lax.cond(
+                        run, lambda c: body(c), lambda c: c, carry
+                    )
+                    return new_carry, (
+                        new_carry.pose,
+                        new_carry.pairings.size(),
+                    )
+
+                carry, (p_seg, c_seg) = jax.lax.scan(
+                    scan_body, carry, None, length=b - a
+                )
+                rec_p.append(p_seg)
+                rec_c.append(c_seg)
+            final = carry
+            iter_poses = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *rec_p
             )
+            iter_counts = jnp.concatenate(rec_c, axis=0)
         else:
-            final = jax.lax.while_loop(cond, body, init)
+            # one while_loop per schedule segment; a segment whose entry
+            # condition is already false (converged earlier) costs one
+            # predicate evaluation
+            carry = init
+            for a, b, m_act, s_act in segments:
+                def cond_seg(carry, b=b):
+                    return (carry.reason == _RUNNING) & (carry.iteration < b)
+
+                carry = jax.lax.while_loop(
+                    cond_seg, make_body(m_act, s_act), carry
+                )
+            final = carry
 
         reason = jnp.where(
             final.reason == _RUNNING, IterTermReason.MAX_ITERATIONS, final.reason

@@ -119,35 +119,127 @@ def _nn1_kernel_gridless(qaug_ref, paug_ref, excl_ref, bestd_ref, besti_ref,
     besti_ref[...] = bi
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_c", "interpret")
-)
+def _nn1_kernel_gridless_batched(qaug_ref, paug_ref, excl_ref, bestd_ref,
+                                 besti_ref, *, block_c: int, E: int):
+    """Batch-leading variant: qaug [B, 32, Qp], paug [B, 32, Cp],
+    excl [B, max(E,1), Qp] -> bestd/besti [B, 1, Qp]. One gridless kernel
+    with an outer fori_loop over B — this is how vmap(knn) reaches the TPU
+    (vmapping a pallas_call would introduce a grid, which hangs this
+    image's remote Mosaic compiler; see _nn1_pallas_gridless vmap rule)."""
+    BIG = 3.0e37
+    B = qaug_ref.shape[0]
+    Qp = qaug_ref.shape[2]
+    Cp = paug_ref.shape[2]
+    n_blocks = Cp // block_c
+
+    def body_b(b, _):
+        q = qaug_ref[b]  # [32, Qp]
+        excl = excl_ref[b] if E else None
+
+        def body(i, carry):
+            bd, bi = carry
+            pblk = paug_ref[b, :, pl.ds(i * block_c, block_c)]
+            d2 = jax.lax.dot_general(
+                pblk, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+                + i * block_c
+            )
+            if E:
+                for e in range(E):
+                    d2 = jnp.where(row == excl[e : e + 1, :], BIG, d2)
+            tmin = jnp.min(d2, axis=0, keepdims=True)
+            targ = jnp.min(
+                jnp.where(d2 == tmin, row, jnp.int32(2**30)),
+                axis=0,
+                keepdims=True,
+            )
+            take = tmin < bd
+            return (
+                jnp.where(take, tmin, bd),
+                jnp.where(take, targ, bi),
+            )
+
+        bd0 = jnp.full((1, Qp), BIG, jnp.float32)
+        bi0 = jnp.full((1, Qp), -1, jnp.int32)
+        bd, bi = jax.lax.fori_loop(0, n_blocks, body, (bd0, bi0))
+        bestd_ref[b] = bd
+        besti_ref[b] = bi
+        return 0
+
+    jax.lax.fori_loop(0, B, body_b, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_nn1_pallas(block_c: int, interpret: bool, E: int):
+    """Build the custom-vmap-wrapped k=1 pallas pass for given statics.
+    E is static so the k=1 hot path pays zero exclusion passes (the dummy
+    excl row it still receives is ignored by the kernel)."""
+
+    @jax.custom_batching.custom_vmap
+    def nn1(qaug, paug, excl):
+        Qp = qaug.shape[1]
+        kernel = functools.partial(
+            _nn1_kernel_gridless, block_c=block_c, E=E
+        )
+        bestd, besti = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, Qp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Qp), jnp.int32),
+            ],
+            interpret=interpret,
+        )(qaug, paug, excl)
+        return bestd[0], besti[0]
+
+    @nn1.def_vmap
+    def nn1_vmap(axis_size, in_batched, qaug, paug, excl):
+        qb, pb, eb = in_batched
+
+        def bcast(x, batched):
+            return (
+                x
+                if batched
+                else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            )
+
+        qaug = bcast(qaug, qb)
+        paug = bcast(paug, pb)
+        excl = bcast(excl, eb)
+        Qp = qaug.shape[2]
+        kernel = functools.partial(
+            _nn1_kernel_gridless_batched, block_c=block_c, E=E
+        )
+        bestd, besti = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct((axis_size, 1, Qp), jnp.float32),
+                jax.ShapeDtypeStruct((axis_size, 1, Qp), jnp.int32),
+            ],
+            interpret=interpret,
+        )(qaug, paug, excl)
+        return (bestd[:, 0], besti[:, 0]), (True, True)
+
+    return nn1
+
+
 def _nn1_pallas_gridless(qaug, paug, excl, block_c=128, interpret=False):
     """k=1 pass. qaug: [32, Qp] bf16, paug: [32, Cp] bf16, excl: [E, Qp].
-    Returns (partial_d [Qp], idx [Qp])."""
+    Returns (partial_d [Qp], idx [Qp]). vmap-safe: batching dispatches to
+    the B-leading gridless kernel instead of a gridded pallas_call."""
     Qp = qaug.shape[1]
     E = excl.shape[0]
-    kernel = functools.partial(
-        _nn1_kernel_gridless, block_c=block_c, E=E
+    nn1 = _make_nn1_pallas(block_c, interpret, E)
+    return nn1(
+        qaug, paug, excl if E else jnp.full((1, Qp), -1, jnp.int32)
     )
-    bestd, besti = pl.pallas_call(
-        kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, Qp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Qp), jnp.int32),
-        ],
-        interpret=interpret,
-    )(qaug, paug, excl if E else jnp.full((1, Qp), -1, jnp.int32))
-    return bestd[0], besti[0]
 
 
 def _trunc16(x):
