@@ -134,7 +134,9 @@ def main():
     # Batched mode is ON by default (MP2P_BENCH_BATCHED=0 disables): the
     # custom_vmap batched NN kernel + schedule segmentation brought the
     # vmapped program's remote-XLA compile from >10 min down to ~30 s.
-    batched_scans_per_s, err_b, B = 0.0, -1.0, 8
+    # B=16 is the measured single-chip sweet spot (540 scans/s vs 452 at
+    # B=8 and 497 at B=32 — VMEM pressure beyond 16)
+    batched_scans_per_s, err_b, B = 0.0, -1.0, 16
     try:
         if os.environ.get("MP2P_BENCH_BATCHED", "1") == "1":
             gs, ls, gu = [], [], []

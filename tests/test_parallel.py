@@ -124,3 +124,88 @@ class TestShardedPoseGraph:
         gt_err = float(jnp.mean(jnp.linalg.norm(opt_shard.t - gt.t, axis=-1)))
         init_err = float(jnp.mean(jnp.linalg.norm(init.t - gt.t, axis=-1)))
         assert gt_err < 0.5 * init_err
+
+
+class TestBatchedMatchesSequential:
+    """The vmapped batched align must reproduce per-pair sequential align
+    results — including with a WINDOWED matcher/solver schedule, which
+    exercises the schedule segmentation (icp.py _schedule_segments) under
+    vmap where lax.cond gating would have executed both branches."""
+
+    def test_windowed_schedule(self):
+        from mp2p_icp_tpu.solvers.gauss_newton import GNParams
+        from mp2p_icp_tpu.solvers.solver import SolverGaussNewton
+
+        icp = ICP(
+            matchers=[
+                MatcherPointsDistanceThreshold(
+                    threshold=1.0, run_up_to_iteration=3
+                ),
+                MatcherPointsDistanceThreshold(
+                    threshold=0.5, run_from_iteration=4
+                ),
+            ],
+            solvers=[
+                SolverHorn(run_up_to_iteration=3),
+                SolverGaussNewton(
+                    run_from_iteration=4,
+                    gn_params=GNParams(max_iterations=2),
+                ),
+            ],
+        )
+        params = ICPParameters(max_iterations=10)
+        B = 3
+        problems = [make_problem(s) for s in range(B)]
+        g_b = stack_pytrees([p[0] for p in problems])
+        l_b = stack_pytrees([p[1] for p in problems])
+        u_b = stack_pytrees([se3.identity() for _ in range(B)])
+
+        res_b = make_batched_align(icp, params)(l_b, g_b, u_b)
+
+        for b, (g, l, gt) in enumerate(problems):
+            res_s = icp.align(l, g, se3.identity(), params)
+            np.testing.assert_allclose(
+                np.asarray(res_s.optimal_tf.t),
+                np.asarray(res_b.optimal_tf.t[b]),
+                atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res_s.optimal_tf.R),
+                np.asarray(res_b.optimal_tf.R[b]),
+                atol=1e-5,
+            )
+            assert int(res_s.n_iterations) == int(res_b.n_iterations[b])
+            assert int(res_s.termination_reason) == int(
+                res_b.termination_reason[b]
+            )
+            assert float(se3.error_log_norm(gt, res_s.optimal_tf)) < 1e-2
+
+    def test_record_iterations_segmented(self):
+        """The segmented lax.scan path concatenates per-segment records into
+        exactly max_iterations entries, frozen after termination."""
+        icp = ICP(
+            matchers=[
+                MatcherPointsDistanceThreshold(
+                    threshold=1.0, run_up_to_iteration=2
+                ),
+                MatcherPointsDistanceThreshold(
+                    threshold=0.8, run_from_iteration=3
+                ),
+            ],
+            solvers=[SolverHorn()],
+        )
+        params = ICPParameters(max_iterations=12, record_iterations=True)
+        g, l, gt = make_problem(7)
+        res = icp.align(l, g, se3.identity(), params)
+        assert res.iteration_poses.t.shape[0] == 12
+        assert res.iteration_pair_counts.shape[0] == 12
+        n = int(res.n_iterations)
+        # tail frozen at the final state
+        np.testing.assert_allclose(
+            np.asarray(res.iteration_poses.t[n - 1]),
+            np.asarray(res.iteration_poses.t[-1]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.iteration_poses.t[-1]),
+            np.asarray(res.optimal_tf.t),
+        )
