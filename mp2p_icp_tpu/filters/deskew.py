@@ -33,12 +33,22 @@ class FilterDeskew(FilterBase):
     twist: Tuple[float, float, float, float, float, float] = (0, 0, 0, 0, 0, 0)
     # skip deskew entirely (reference: silently_ignore_no_timestamps)
     silently_ignore_no_timestamps: bool = False
-    # precise mode (reference: FilterDeskew with a LocalVelocityBuffer,
-    # FilterDeskew.cpp:232): interpolate a reconstructed trajectory instead
-    # of the constant-twist model. Supply via variables:
-    #   variables["trajectory_times"]    [T] seconds
+    # precise mode (reference: use_precise_local_velocities,
+    # FilterDeskew.cpp:162-240): rotation is interpolated from the velocity-
+    # buffer-reconstructed relative trajectory; translation stays the
+    # constant-velocity model v*t (the reference overrides the trajectory
+    # translation the same way, FilterDeskew.cpp:225-237 — IMU buffers carry
+    # reliable angular rates only). The trajectory arrives via variables
+    # (sm2mm injects it, mirroring the reference's attached ParameterSource):
+    #   variables["trajectory_times"]    [T] seconds, relative to the scan
+    #                                    reference time (t=0 in pc.time)
     #   variables["trajectory_tangents"] [T, 6] se(3) tangents (pose at t =
     #                                    exp(tangent), identity at t_ref)
+    # Falls back to constant twist when the trajectory is absent
+    # (reference: MRPT_LOG_THROTTLE_WARN fallback, FilterDeskew.cpp:178-184).
+    use_precise_local_velocities: bool = False
+    # legacy alias: method == "trajectory" behaves like
+    # use_precise_local_velocities=True
     method: str = "constant_twist"  # or "trajectory"
 
     def __call__(self, layers: Dict[str, PointCloud], variables=None):
@@ -54,10 +64,15 @@ class FilterDeskew(FilterBase):
             )
 
         use_traj = (
-            self.method == "trajectory"
+            (self.use_precise_local_velocities or self.method == "trajectory")
             and variables is not None
             and "trajectory_times" in variables
         )
+        tw = list(self.twist)
+        if variables:
+            names = ("vx", "vy", "vz", "wx", "wy", "wz")
+            tw = [variables.get(n, d) for n, d in zip(names, tw)]
+        twist = jnp.asarray(tw, jnp.float32)
         if use_traj:
             # precise path: searchsorted linear interpolation of the
             # reconstructed trajectory tangents at each point time
@@ -70,15 +85,15 @@ class FilterDeskew(FilterBase):
             a = jnp.clip((pc.time - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
             tangents = tang[i0] * (1 - a)[:, None] + tang[i1] * a[:, None]
         else:
-            tw = list(self.twist)
-            if variables:
-                names = ("vx", "vy", "vz", "wx", "wy", "wz")
-                tw = [variables.get(n, d) for n, d in zip(names, tw)]
-            twist = jnp.asarray(tw, jnp.float32)
             tangents = pc.time[:, None] * twist[None, :]
 
         # per-point correction pose applied to the point
         poses = se3.exp(tangents)  # batched Pose [C]
+        if use_traj:
+            # translation: constant-velocity model v*t overrides the
+            # trajectory translation (reference: FilterDeskew.cpp:225-237
+            # sets pose_increment.x/y/z = v*dt after the rotation lookup)
+            poses = se3.Pose(poses.R, pc.time[:, None] * twist[None, :3])
         new_xyz = (
             jnp.einsum("cij,cj->ci", poses.R, pc.xyz) + poses.t
         )

@@ -78,6 +78,16 @@ def save_mm_file(path: str, mm: MetricMap) -> None:
 def load_mm_file(path: str) -> MetricMap:
     import jax.numpy as jnp
 
+    # reference binary .mm files (gzipped MRPT archives, magic 1f8b, or the
+    # raw archive starting with the 0x80|len class-name byte) route to the
+    # read-only MRPT parser (io.mrpt_mm); our native format is .mm.npz (zip)
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head != b"PK":  # not a zip -> not an npz
+        from mp2p_icp_tpu.io.mrpt_mm import load_mrpt_mm
+
+        return load_mrpt_mm(path)
+
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
         if meta["version"] > FORMAT_VERSION:

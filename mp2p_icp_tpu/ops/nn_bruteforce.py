@@ -269,8 +269,8 @@ def _split3(x):
     )
 
 
-def _augment_bf16(q, p, Qp, Cp, far):
-    """Build the [32, Qp]/[32, Cp] bf16 hi/mid/lo coordinate blocks.
+def _augment_q(qT):
+    """[3, Qp] f32 query block -> [32, Qp] bf16 hi/mid/lo rows.
 
     Row layout pairs P-block i with Q-block i so that Pbᵀ Qb accumulates
     (in f32 on the MXU) every hi/mid/lo cross-product down to ~1e-3 m^2:
@@ -280,6 +280,33 @@ def _augment_bf16(q, p, Qp, Cp, far):
 
     with q* = splits of -2 q, p* = splits of p, s* = splits of |p|^2; the
     dropped terms (qm·pl, ql·pm, ql·pl) are < 1e-3 m^2 at |x| <= 120 m."""
+    Qp = qT.shape[1]
+    qh, qm, ql = _split3(-2.0 * qT)
+    one = jnp.ones((1, Qp), jnp.bfloat16)
+    zq = jnp.zeros((1, Qp), jnp.bfloat16)
+    return jnp.concatenate(
+        [qh, one, qh, one, qh, one, qm, zq, qm, zq, ql, zq,
+         jnp.zeros((8, Qp), jnp.bfloat16)],
+        axis=0,
+    )  # [32, Qp]
+
+
+def _augment_p(pT):
+    """[3, Cp] f32 point block -> [32, Cp] bf16 rows (layout: _augment_q)."""
+    Cp = pT.shape[1]
+    pn = jnp.sum(pT * pT, axis=0, keepdims=True)  # [1, Cp] f32
+    ph, pm, plo = _split3(pT)
+    sh, sm, sl = _split3(pn)
+    zs = jnp.zeros((1, Cp), jnp.bfloat16)
+    return jnp.concatenate(
+        [ph, sh, pm, sm, plo, sl, ph, zs, pm, zs, ph, zs,
+         jnp.zeros((8, Cp), jnp.bfloat16)],
+        axis=0,
+    )  # [32, Cp]
+
+
+def _augment_bf16(q, p, Qp, Cp, far):
+    """Pad [N, 3] inputs and build the [32, Qp]/[32, Cp] bf16 blocks."""
     Q, C = q.shape[0], p.shape[0]
     qT = jnp.concatenate(
         [q.T, jnp.full((3, Qp - Q), far, jnp.float32)], axis=1
@@ -287,24 +314,7 @@ def _augment_bf16(q, p, Qp, Cp, far):
     pT = jnp.concatenate(
         [p.T, jnp.full((3, Cp - C), -far, jnp.float32)], axis=1
     )
-    pn = jnp.sum(pT * pT, axis=0, keepdims=True)  # [1, Cp] f32
-    qh, qm, ql = _split3(-2.0 * qT)
-    ph, pm, plo = _split3(pT)
-    sh, sm, sl = _split3(pn)
-    one = jnp.ones((1, Qp), jnp.bfloat16)
-    zq = jnp.zeros((1, Qp), jnp.bfloat16)
-    zs = jnp.zeros((1, Cp), jnp.bfloat16)
-    qaug = jnp.concatenate(
-        [qh, one, qh, one, qh, one, qm, zq, qm, zq, ql, zq,
-         jnp.zeros((8, Qp), jnp.bfloat16)],
-        axis=0,
-    )  # [32, Qp]
-    paug = jnp.concatenate(
-        [ph, sh, pm, sm, plo, sl, ph, zs, pm, zs, ph, zs,
-         jnp.zeros((8, Cp), jnp.bfloat16)],
-        axis=0,
-    )  # [32, Cp]
-    return qaug, paug
+    return _augment_q(qT), _augment_p(pT)
 
 
 # ----------------------------------------------------------------- XLA path
@@ -344,6 +354,117 @@ def _nn_xla_topk(q_rows, p_rows, k, chunk=2048):
     return ds.reshape(Qp, k), idxs.reshape(Qp, k)
 
 
+# --------------------------------------------------------------- streaming
+# Superblock size for HBM-streamed large-map search: the in-VMEM kernel
+# holds paug [32, SB] bf16 (8.4 MB at 131072) + the [128, Qp] distance tile;
+# ~16 MB/core VMEM caps SB at 2^17. Maps larger than this are swept with a
+# lax.fori_loop of superblocks (dynamic_slice from HBM) merging running
+# top-k — the TPU answer to the reference's lazy KD-tree over the full map
+# (mp2p_icp_map/src/metricmap.cpp:784-802).
+STREAM_BLOCK = 131072
+
+
+def _merge_sorted_k(d_acc, i_acc, new_d, new_i, k):
+    """Merge two ascending k-lists [k, Qp] -> ascending k-list, by repeated
+    masked min — O(k^2) elementwise ops over lanes, no transposes/sorts
+    (standalone small-minor-dim ops cost ~1 ms on this TPU; see layout
+    note in _nn_xla_topk)."""
+    cat_d = jnp.concatenate([d_acc, new_d], axis=0)  # [2k, Qp]
+    cat_i = jnp.concatenate([i_acc, new_i], axis=0)
+    used = jnp.zeros(cat_d.shape, bool)
+    out_d, out_i = [], []
+    rowid = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 0)
+    for _ in range(k):
+        dm = jnp.where(used, _BIG, cat_d)
+        m = jnp.min(dm, axis=0, keepdims=True)  # [1, Qp]
+        sel = jnp.min(
+            jnp.where(dm == m, rowid, jnp.int32(2**30)), axis=0, keepdims=True
+        )
+        hit = rowid == sel
+        out_d.append(m)
+        out_i.append(jnp.max(jnp.where(hit, cat_i, -1), axis=0, keepdims=True))
+        used = used | hit
+    return jnp.concatenate(out_d, axis=0), jnp.concatenate(out_i, axis=0)
+
+
+def _knn_pallas_streamed(q, p, k, Qp, block_c, interpret, stream_block):
+    """Streamed pallas path for C > stream_block: fori_loop over point
+    superblocks, each swept by the in-VMEM gridless kernel, running top-k
+    merged across superblocks. Returns (partial_d [Q, k], idx [Q, k])."""
+    Q, C = q.shape[0], p.shape[0]
+    far = jnp.float32(1.0e8)
+    SB = stream_block
+    n_sb = -(-C // SB)
+    Cs = n_sb * SB
+    p_pad = (
+        jnp.concatenate([p, jnp.full((Cs - C, 3), -far, jnp.float32)], axis=0)
+        if Cs != C
+        else p
+    )
+    qT = jnp.concatenate(
+        [q.T, jnp.full((3, Qp - Q), far, jnp.float32)], axis=1
+    )
+    qaug = _augment_q(qT)
+    # augment the WHOLE map once ([32, Cs] bf16 in HBM, 64 B/point) and
+    # lane-slice per superblock: transposing/splitting a [SB, 3] block
+    # inside the loop costs ~10 ms per superblock on this TPU (minor dim 3
+    # wastes 125/128 lanes; measured 148 ms -> 3 ms for 8k x 512k)
+    paug_full = _augment_p(p_pad.T)
+
+    def sb_body(i, carry):
+        d_acc, i_acc = carry  # [k, Qp]
+        paug = jax.lax.dynamic_slice(paug_full, (0, i * SB), (32, SB))
+        excl = jnp.full((0, Qp), -1, jnp.int32)
+        ds, idxs = [], []
+        for _ in range(k):
+            pd, pi = _nn1_pallas_gridless(
+                qaug, paug, excl, block_c=block_c, interpret=interpret
+            )
+            ds.append(pd)
+            idxs.append(pi)
+            excl = jnp.concatenate([excl, pi[None, :]], axis=0)
+        new_d = jnp.stack(ds, axis=0)  # [k, Qp] ascending
+        new_i = jnp.where(
+            jnp.stack(idxs, axis=0) >= 0, jnp.stack(idxs, axis=0) + i * SB, -1
+        )
+        return _merge_sorted_k(d_acc, i_acc, new_d, new_i, k)
+
+    d0 = jnp.full((k, Qp), _BIG, jnp.float32)
+    i0 = jnp.full((k, Qp), -1, jnp.int32)
+    d, idx = jax.lax.fori_loop(0, n_sb, sb_body, (d0, i0))
+    return d.T[:Q], idx.T[:Q]
+
+
+def _knn_xla_streamed(q_rows, p, k, stream_block):
+    """Streamed XLA fallback: fori_loop over superblocks of _nn_xla_topk,
+    merged with a [Qp, 2k] top_k. q_rows [Qp, 3], p [C, 3] (sentinels in
+    place). Returns (partial_d [Qp, k], idx [Qp, k])."""
+    Qp, C = q_rows.shape[0], p.shape[0]
+    far = jnp.float32(1.0e8)
+    SB = stream_block
+    n_sb = -(-C // SB)
+    Cs = n_sb * SB
+    p_pad = (
+        jnp.concatenate([p, jnp.full((Cs - C, 3), -far, jnp.float32)], axis=0)
+        if Cs != C
+        else p
+    )
+
+    def sb_body(i, carry):
+        d_acc, i_acc = carry  # [Qp, k]
+        pblk = jax.lax.dynamic_slice(p_pad, (i * SB, 0), (SB, 3))
+        ds, idxs = _nn_xla_topk(q_rows, pblk, k)
+        idxs = jnp.where(idxs >= 0, idxs + i * SB, -1)
+        cat_d = jnp.concatenate([d_acc, ds], axis=1)  # [Qp, 2k]
+        cat_i = jnp.concatenate([i_acc, idxs], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, k)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    d0 = jnp.full((Qp, k), _BIG, jnp.float32)
+    i0 = jnp.full((Qp, k), -1, jnp.int32)
+    return jax.lax.fori_loop(0, n_sb, sb_body, (d0, i0))
+
+
 # ------------------------------------------------------------------ public
 def knn_bruteforce(
     queries: jax.Array,
@@ -354,11 +475,14 @@ def knn_bruteforce(
     max_radius_sq: Optional[jax.Array] = None,
     backend: str = "auto",
     interpret: bool = False,
+    stream_block: int = STREAM_BLOCK,
 ) -> NNResult:
     """Exact kNN of queries [Q, 3] among points [C, 3].
 
     max_radius_sq: scalar or [Q] — pairs beyond it are invalidated.
     backend: 'auto' | 'pallas' | 'xla'.
+    stream_block: maps with C > stream_block are swept in HBM-streamed
+    superblocks (scan-to-large-map; still exact).
     """
     Q, C = queries.shape[0], points.shape[0]
     if backend == "auto":
@@ -388,27 +512,35 @@ def knn_bruteforce(
     if backend == "pallas":
         block_c = 128
         Qp = _round_up(Q, 512)
-        Cp = _round_up(C, block_c)
-        qaug, paug = _augment_bf16(q, p, Qp, Cp, far)
-        # k sequential passes with per-query exclusion lists
-        idxs, dists = [], []
-        excl = jnp.full((0, Qp), -1, jnp.int32)
-        for _ in range(k):
-            pd, pi = _nn1_pallas_gridless(
-                qaug, paug, excl, block_c=block_c, interpret=interpret
+        if C > stream_block:
+            pdist, idx = _knn_pallas_streamed(
+                q, p, k, Qp, block_c, interpret, stream_block
             )
-            idxs.append(pi)
-            dists.append(pd)
-            excl = jnp.concatenate([excl, pi[None, :]], axis=0)
-        idx = jnp.stack(idxs, axis=1)[:Q]  # [Q, k]
-        pdist = jnp.stack(dists, axis=1)[:Q]
+        else:
+            Cp = _round_up(C, block_c)
+            qaug, paug = _augment_bf16(q, p, Qp, Cp, far)
+            # k sequential passes with per-query exclusion lists
+            idxs, dists = [], []
+            excl = jnp.full((0, Qp), -1, jnp.int32)
+            for _ in range(k):
+                pd, pi = _nn1_pallas_gridless(
+                    qaug, paug, excl, block_c=block_c, interpret=interpret
+                )
+                idxs.append(pi)
+                dists.append(pd)
+                excl = jnp.concatenate([excl, pi[None, :]], axis=0)
+            idx = jnp.stack(idxs, axis=1)[:Q]  # [Q, k]
+            pdist = jnp.stack(dists, axis=1)[:Q]
     else:
         Qp = _round_up(Q, 512)
         if Qp != Q:
             q = jnp.concatenate(
                 [q, jnp.full((Qp - Q, 3), far, jnp.float32)], axis=0
             )
-        pdist, idx = _nn_xla_topk(q, p, k)
+        if C > stream_block:
+            pdist, idx = _knn_xla_streamed(q, p, k, stream_block)
+        else:
+            pdist, idx = _nn_xla_topk(q, p, k)
         pdist, idx = pdist[:Q], idx[:Q]
     # add back |q|^2 to get true squared distances; clamp tiny negatives
     d2 = jnp.maximum(pdist + qn[:, None], 0.0)

@@ -24,8 +24,9 @@ def make_batched_align(icp: ICP, params: ICPParameters):
     matchers = tuple(icp.matchers)
 
     def single(l_layers, g_layers, guess):
-        return icp._align_core(
-            params, matchers, {}, g_layers, l_layers, guess, None
+        # _align_full = crop-large-globals + _align_core, both vmap-safe
+        return icp._align_full(
+            params, matchers, g_layers, l_layers, guess, None
         )
 
     return jax.jit(jax.vmap(single))

@@ -273,7 +273,10 @@ def _build_quality_paired_ratio(p: dict):
 
 _QUALITY: Dict[str, Callable] = {
     "QualityEvaluator_PairedRatio": _build_quality_paired_ratio,
-    "QualityEvaluator_Voxels": lambda p: QualityVoxels(),
+    "QualityEvaluator_Voxels": lambda p: QualityVoxels(
+        voxel_layer_name=p.get("voxel_layer_name", "voxelmap"),
+        dist2quality_scale=float(_num(p.get("dist2quality_scale", 2.0))),
+    ),
     "QualityEvaluator_RangeImageSimilarity": lambda p: QualityRangeImageSimilarity(),
 }
 
@@ -328,11 +331,26 @@ def _build_filter_bbox(p: dict, variables=None):
 
 
 def _build_filter_deskew(p: dict, variables=None):
+    def const_or_zero(x):
+        # the reference's twist entries are usually '$f{vx}'-style dynamic
+        # expressions; those resolve at filter-call time from the runtime
+        # variables (FilterDeskew reads vx..wz itself), so non-constant
+        # entries default to 0 here
+        try:
+            return float(_num(x, variables))
+        except Exception:
+            return 0.0
+
+    tw = p.get("twist")
     return FilterDeskew(
         input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
         output_pointcloud_layer=p.get("output_pointcloud_layer", "deskewed"),
         silently_ignore_no_timestamps=bool(
             p.get("silently_ignore_no_timestamps", False)
+        ),
+        twist=tuple(const_or_zero(x) for x in tw) if tw else (0,) * 6,
+        use_precise_local_velocities=bool(
+            p.get("use_precise_local_velocities", False)
         ),
     )
 
@@ -588,13 +606,20 @@ def filter_pipeline_from_yaml_file(path: str, section: Optional[str] = None,
 
 
 def load_icp_config_file(path: str):
-    """Full icp-run-style config: (icp, params, filters dict by section)."""
+    """Full icp-run-style config: (icp, params, sections dict). Filter
+    sections map to filter lists; ``generators`` maps to a Generator list
+    (reference: apps/icp-run/main.cpp:233-244 loads generators from the
+    same config)."""
     with open(path) as f:
         cfg = _yaml.safe_load(f)
     icp, params = icp_pipeline_from_yaml(cfg)
     sections = {}
     for sec in ("filters", "filters_local_map", "filters_global_map",
-                "generators", "final_filters"):
-        if sec in cfg and sec != "generators":
+                "final_filters"):
+        if sec in cfg:
             sections[sec] = filter_pipeline_from_yaml(cfg[sec])
+    if "generators" in cfg:
+        from mp2p_icp_tpu.filters.generator import generators_from_yaml
+
+        sections["generators"] = generators_from_yaml(cfg["generators"])
     return icp, params, sections

@@ -1,20 +1,28 @@
 """Voxel-occupancy quality evaluator.
 
-Reference parity: mp2p_icp/src/QualityEvaluator_Voxels.cpp:40-170 — iterate
-local & global voxel grids, transform local cell centres into the global
-grid, accumulate an agreement loss over (localOcc, globalOcc) pairs and map
-it through a sigmoid to [0, 1].
+Reference parity: mp2p_icp/src/QualityEvaluator_Voxels.cpp:40-170 —
+symmetric two-pass comparison of the local & global voxel grids: each
+grid's cells are transformed into the other grid, co-observed cell pairs
+accumulate the reference's fitted quadratic agreement loss
 
-TPU-first: both grids are VoxelGridLayer tensors; the cross-lookup is one
-batched hash probe; the loss reduction is a masked sum. The reference's
-fitted quadratic agreement surface is reproduced by its sign structure:
-matching occupancy states score positive, conflicting states negative.
+    loss(x, y) = 1.5 + x + y - 12x^2 + 22xy - 12y^2
+    (QualityEvaluator_Voxels.cpp:43-57; +1 at matching definite states,
+     -10 at conflicting ones)
+
+skipping barely-observed cells (|occ - 0.5| < 0.01, :127), and
+quality = sigmoid(dist2quality_scale * mean_loss), 0 when no cell pairs
+(:157-162). Missing/wrong-type layers RAISE, as the reference throws
+(:66-91) — a misconfigured pipeline must not get a plausible score.
+
+TPU-first: both grids are VoxelGridLayer tensors; the cross-grid cell
+lookup is a sort + searchsorted merge over packed cell codes (the
+reference walks Bonxai accessors cell-by-cell), so the whole evaluation is
+O((L + C) log C) fused XLA with no [L, C] blow-up.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,50 +33,115 @@ from mp2p_icp_tpu.core.se3 import Pose
 from mp2p_icp_tpu.quality.paired_ratio import QualityResult
 
 
+def _loss(x, y):
+    """Fitted quadratic agreement surface (QualityEvaluator_Voxels.cpp:55)."""
+    return 1.5 + x + y - 12.0 * x * x + 22.0 * x * y - 12.0 * y * y
+
+
+def _pack(keys):
+    """[N, 3] int32 cell coords -> int32 codes (10 bits/axis; exact within
+    +-512 cells of the origin, verified against the true keys below so
+    wrap-around can only cause a miss, never a false match)."""
+    return (
+        ((keys[:, 0] & 1023) << 20)
+        | ((keys[:, 1] & 1023) << 10)
+        | (keys[:, 2] & 1023)
+    )
+
+
+def lookup_occupancy(layer: VoxelGridLayer, qkeys, qvalid):
+    """Occupancy of ``layer`` at integer cell coords qkeys [L, 3].
+    Returns (occ [L], found [L]). Sorted-code searchsorted with a 4-slot
+    collision probe (duplicate codes sort adjacently)."""
+    codes = jnp.where(layer.valid, _pack(layer.keys), jnp.int32(2**30))
+    order = jnp.argsort(codes)
+    scodes = codes[order]
+    skeys = layer.keys[order]
+    socc = layer.occupancy[order]
+    svalid = layer.valid[order]
+    qc = _pack(qkeys)
+    pos = jnp.searchsorted(scodes, qc)
+    C = scodes.shape[0]
+    found = jnp.zeros(qc.shape, bool)
+    occ = jnp.full(qc.shape, 0.5, jnp.float32)
+    for off in range(4):
+        p = jnp.clip(pos + off, 0, C - 1)
+        hit = (
+            (scodes[p] == qc)
+            & jnp.all(skeys[p] == qkeys, axis=-1)
+            & svalid[p]
+            & ~found
+        )
+        occ = jnp.where(hit, socc[p], occ)
+        found = found | hit
+    return occ, found & qvalid
+
+
 @dataclasses.dataclass(frozen=True)
 class QualityVoxels:
-    """Params (reference: QualityEvaluator_Voxels.h)."""
+    """Params (reference: QualityEvaluator_Voxels.h:40-45)."""
 
-    local_layer: str = "localmap_voxels"
-    global_layer: str = "globalmap_voxels"
-    dist_threshold: float = 0.2  # sigmoid scale
+    voxel_layer_name: str = "voxelmap"
+    dist2quality_scale: float = 2.0
     weight: float = 1.0
+    # legacy aliases (pre-r2 API); voxel_layer_name wins when layers share it
+    local_layer: str = ""
+    global_layer: str = ""
+
+    def _layer_names(self):
+        loc = self.local_layer or self.voxel_layer_name
+        glo = self.global_layer or self.voxel_layer_name
+        return loc, glo
 
     def evaluate_voxels(
         self, local: VoxelGridLayer, globl: VoxelGridLayer, pose: Pose
     ) -> QualityResult:
-        centers = se3.apply(pose, local.centers())
-        gkeys = jnp.floor(centers / globl.resolution).astype(jnp.int32)
-        # linear probe of the global voxel record (capacity C is modest)
-        eq = jnp.all(
-            gkeys[:, None, :] == globl.keys[None, :, :], axis=-1
-        ) & globl.valid[None, :]
-        found = jnp.any(eq, axis=1)
-        gocc = jnp.where(
-            found,
-            jnp.einsum("lc,c->l", eq.astype(jnp.float32), globl.occupancy),
-            0.5,
+        eps = 0.01
+
+        def one_pass(src, dst, transform):
+            centers = transform(src.centers())
+            keys = jnp.floor(centers / dst.resolution).astype(jnp.int32)
+            occ_dst, found = lookup_occupancy(dst, keys, src.valid)
+            occ_src = src.occupancy
+            counted = (
+                found
+                & (jnp.abs(occ_src - 0.5) >= eps)
+                & (jnp.abs(occ_dst - 0.5) >= eps)
+            )
+            d = _loss(occ_src, occ_dst)
+            return (
+                jnp.sum(jnp.where(counted, d, 0.0)),
+                jnp.sum(counted.astype(jnp.int32)),
+            )
+
+        # local cells -> global grid, then global cells -> local grid
+        # (QualityEvaluator_Voxels.cpp:109-155 runs both directions)
+        inv = se3.inverse(pose)
+        s1, n1 = one_pass(local, globl, lambda c: se3.apply(pose, c))
+        s2, n2 = one_pass(globl, local, lambda c: se3.apply(inv, c))
+        n = n1 + n2
+        dist = jnp.where(n > 0, (s1 + s2) / jnp.maximum(n, 1), 0.0)
+        q = jnp.where(
+            n > 0, jax.nn.sigmoid(self.dist2quality_scale * dist), 0.0
         )
-        locc = local.occupancy
-        both = local.valid & found
-        # agreement: product of signed occupancies in [-1, 1]
-        a = (2.0 * locc - 1.0) * (2.0 * gocc - 1.0)
-        score = jnp.sum(jnp.where(both, a, 0.0))
-        n = jnp.maximum(jnp.sum(both.astype(jnp.float32)), 1.0)
-        q = jax.nn.sigmoid(score / (n * self.dist_threshold))
         return QualityResult(quality=q, hard_discard=jnp.asarray(False))
 
     def evaluate(self, pairings, grids=None, global_map=None, local_map=None,
                  pose=None, ctx=None) -> QualityResult:
-        if (
-            global_map is None
-            or local_map is None
-            or self.local_layer not in getattr(local_map, "keys", lambda: {})()
-        ):
-            # voxel layers unavailable — neutral score
-            return QualityResult(
-                quality=jnp.asarray(0.5), hard_discard=jnp.asarray(False)
-            )
+        loc_name, glo_name = self._layer_names()
+        for name, m, side in ((loc_name, local_map, "local"),
+                              (glo_name, global_map, "global")):
+            if m is None or name not in m:
+                raise ValueError(
+                    f"QualityEvaluator_Voxels: {side} map has no layer "
+                    f"'{name}' (reference throws here too, "
+                    "QualityEvaluator_Voxels.cpp:66-91)"
+                )
+            if not isinstance(m[name], VoxelGridLayer):
+                raise ValueError(
+                    f"QualityEvaluator_Voxels: {side} layer '{name}' must "
+                    "be a voxel grid"
+                )
         return self.evaluate_voxels(
-            local_map[self.local_layer], global_map[self.global_layer], pose
+            local_map[loc_name], global_map[glo_name], pose
         )

@@ -312,13 +312,17 @@ class TestDeskewTrajectory:
             0.15, half_window=0.1, dt=0.01
         )
         pc = cloud([[0, 0, 0], [5, 0, 0]], time=[0.05 - 0.15, 0.0])
-        # trajectory times are absolute; point times are relative to t_ref
+        # trajectory times are absolute; point times are relative to t_ref.
+        # Translation follows the constant-velocity twist vars (reference:
+        # FilterDeskew.cpp:225-237 overrides trajectory translation with
+        # v*dt); rotation comes from the trajectory.
         f = FilterDeskew(method="trajectory")
         out = f(
             {"raw": pc},
             variables={
                 "trajectory_times": times - 0.15,
                 "trajectory_tangents": tangents,
+                "vx": 2.0,
             },
         )["deskewed"]
         # point at t=-0.1: correction -0.2 m in x (moved backwards)
