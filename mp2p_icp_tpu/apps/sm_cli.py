@@ -135,6 +135,53 @@ def cmd_export_kfs(args):
     return 0
 
 
+def cmd_export_rawlog(args):
+    """Export keyframes as a flat observation stream (.rawlog.npz).
+
+    Reference parity: apps/sm-cli/sm-cli-export-rawlog.cpp:39-88 — each
+    keyframe becomes one sensory frame holding its observations plus a
+    'pose' CObservationRobotPose and, when the KF stores one, a 'twist'
+    comment observation.
+    """
+    from mp2p_icp_tpu.filters.generator import Observation
+    from mp2p_icp_tpu.io.rawlog import Rawlog
+
+    sm = _load(args.input)
+    rl = Rawlog()
+    for i, kf in enumerate(sm.keyframes):
+        ts = next(
+            (o.timestamp for o in kf.observations if o.timestamp), 0.0
+        )
+        for o in kf.observations:
+            rl.append(o, frame=i)
+        rl.append(
+            Observation(
+                class_name="CObservationRobotPose",
+                sensor_label="pose",
+                timestamp=ts,
+                sensor_pose=kf.pose,
+            ),
+            frame=i,
+        )
+        if kf.twist is not None:
+            rl.append(
+                Observation(
+                    class_name="CObservationComment",
+                    sensor_label="twist",
+                    timestamp=ts,
+                    text="Twist stored in the simplemap keyframe:\n"
+                    + " ".join(f"{v:.6g}" for v in kf.twist),
+                ),
+                frame=i,
+            )
+    rl.save(args.output)
+    print(
+        f"wrote {args.output}: {len(rl)} observations from "
+        f"{len(sm.keyframes)} keyframes"
+    )
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="sm-cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -178,6 +225,11 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
     p.set_defaults(fn=cmd_export_kfs)
+
+    p = sub.add_parser("export-rawlog")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_export_rawlog)
 
     args = ap.parse_args(argv)
     return args.fn(args)

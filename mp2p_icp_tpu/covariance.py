@@ -30,6 +30,11 @@ def covariance(pairings: Pairings, final_pose: Pose) -> jnp.ndarray:
     H, _, _ = gn_build_normal_equations(final_pose, pairings, GNParams())
     n = pairings.size()
     H_safe = H + 1e-9 * jnp.eye(6, dtype=H.dtype)
-    cov = jnp.linalg.inv(H_safe)
+    # equilibrated f32 inverse: inv(H) = D inv(D H D) D — stable on the
+    # near-degenerate geometry where the raw f32 inverse loses all digits
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(H_safe), 1e-30, None))
+    dinv = 1.0 / d
+    Hs = H_safe * dinv[:, None] * dinv[None, :]
+    cov = jnp.linalg.inv(Hs) * dinv[:, None] * dinv[None, :]
     fallback = SIGMA_NO_PAIRINGS * jnp.eye(6, dtype=H.dtype)
     return jnp.where(n > 0, cov, fallback)

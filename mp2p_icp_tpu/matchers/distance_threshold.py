@@ -60,6 +60,10 @@ class MatcherPointsDistanceThreshold(Matcher):
     # contribution to the grid cell size (the per-point threshold is
     # thr^2 + (angFactor*|p|)^2 — unbounded in principle).
     angular_range_hint: float = 100.0
+    # TPU-specific: mesh axis name when the global map is spatially sharded
+    # (set by parallel.spatial.make_spatial_align; SURVEY §5.7). The NN then
+    # sweeps only this device's shard and all_gather-merges candidates.
+    spatial_axis: object = None
 
     def search_radius(self) -> float:
         from mp2p_icp_tpu.core.params import Expression
@@ -126,6 +130,12 @@ class MatcherPointsDistanceThreshold(Matcher):
             # exact kNN on the MXU (see ops.nn_bruteforce) — no grid, no
             # candidate budget, the per-point angular threshold is just a
             # per-query radius
+            if self.spatial_axis is not None and state is not None:
+                raise NotImplementedError(
+                    "spatially-sharded matching with cross-matcher paired "
+                    "bitfields is unsupported: shard-local masks cannot "
+                    "index a cross-shard global id"
+                )
             res = knn_bruteforce(
                 pts,
                 valid,
@@ -133,6 +143,7 @@ class MatcherPointsDistanceThreshold(Matcher):
                 glayer.valid_mask(),
                 k=self.pairings_per_point,
                 max_radius_sq=thr_sq,
+                spatial_axis=self.spatial_axis,
             )
             keep = res.valid
             if not self.allow_match_already_matched_global_points:
@@ -155,10 +166,15 @@ class MatcherPointsDistanceThreshold(Matcher):
             )
             gidx = res.idx.reshape(-1)
             safe_g = jnp.clip(gidx, 0, glayer.capacity - 1)
+            if res.xyz is not None:
+                # sharded path: neighbour coords came back with the merge
+                globl_xyz = res.xyz.reshape(-1, 3)
+            else:
+                globl_xyz = glayer.xyz[safe_g]
             blocks.append(
                 PairsPt2Pt(
                     local=local_xyz,
-                    globl=glayer.xyz[safe_g],
+                    globl=globl_xyz,
                     weight=w.reshape(-1),
                     local_idx=jnp.where(w.reshape(-1) > 0, local_idx, -1),
                     global_idx=jnp.where(w.reshape(-1) > 0, gidx, -1),

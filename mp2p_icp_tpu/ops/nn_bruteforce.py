@@ -39,6 +39,10 @@ class NNResult(NamedTuple):
     idx: jax.Array  # [Q, k] i32 (-1 invalid)
     dist_sq: jax.Array  # [Q, k] f32 (BIG invalid)
     valid: jax.Array  # [Q, k] bool
+    # neighbour coordinates [Q, k, 3]; populated on the spatially-sharded
+    # path, where ``idx`` is a cross-shard global index that cannot be
+    # gathered from the local shard
+    xyz: Optional[jax.Array] = None
 
 
 def _round_up(n, m):
@@ -476,6 +480,7 @@ def knn_bruteforce(
     backend: str = "auto",
     interpret: bool = False,
     stream_block: int = STREAM_BLOCK,
+    spatial_axis: Optional[str] = None,
 ) -> NNResult:
     """Exact kNN of queries [Q, 3] among points [C, 3].
 
@@ -483,7 +488,43 @@ def knn_bruteforce(
     backend: 'auto' | 'pallas' | 'xla'.
     stream_block: maps with C > stream_block are swept in HBM-streamed
     superblocks (scan-to-large-map; still exact).
+    spatial_axis: when set (inside a shard_map), ``points`` is THIS
+    device's shard of a 'space'-partitioned global map: each device runs
+    the local sweep, then per-query (dist, global idx, xyz) k-lists are
+    all_gather-merged across the axis — the SP analogue of SURVEY §5.7's
+    halo-gather plan. Returned idx is global (shard * C + local); returned
+    ``xyz`` carries the neighbour coordinates (a cross-shard gather is
+    impossible).
     """
+    if spatial_axis is not None:
+        res = knn_bruteforce(
+            queries, query_valid, points, point_valid, k=k,
+            max_radius_sq=max_radius_sq, backend=backend,
+            interpret=interpret, stream_block=stream_block,
+        )
+        C = points.shape[0]
+        shard = jax.lax.axis_index(spatial_axis)
+        gidx = jnp.where(res.valid, res.idx + shard * C, -1)
+        nxyz = points[jnp.clip(res.idx, 0, C - 1)]  # [Q, k, 3] local gather
+        d_all = jax.lax.all_gather(res.dist_sq, spatial_axis)  # [n, Q, k]
+        i_all = jax.lax.all_gather(gidx, spatial_axis)
+        x_all = jax.lax.all_gather(nxyz, spatial_axis)
+        n = d_all.shape[0]
+        Q = queries.shape[0]
+        cat_d = jnp.moveaxis(d_all, 0, 1).reshape(Q, n * k)
+        cat_i = jnp.moveaxis(i_all, 0, 1).reshape(Q, n * k)
+        cat_x = jnp.moveaxis(x_all, 0, 1).reshape(Q, n * k, 3)
+        neg, sel = jax.lax.top_k(-cat_d, k)
+        d = -neg
+        idx = jnp.take_along_axis(cat_i, sel, axis=1)
+        xyz = jnp.take_along_axis(cat_x, sel[..., None], axis=1)
+        valid = idx >= 0
+        return NNResult(
+            idx=idx,
+            dist_sq=jnp.where(valid, d, _BIG),
+            valid=valid,
+            xyz=xyz,
+        )
     Q, C = queries.shape[0], points.shape[0]
     if backend == "auto":
         # Default: the gridless Pallas kernel on TPU (the gridded variant

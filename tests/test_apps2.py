@@ -96,6 +96,31 @@ class TestSmCli:
         data = np.loadtxt(o)
         assert data.shape == (4, 8)
 
+    def test_export_rawlog(self, tmp_path):
+        """Each KF -> one sensory frame: obs + 'pose' RobotPose + 'twist'
+        comment (reference: apps/sm-cli/sm-cli-export-rawlog.cpp:39-88)."""
+        from mp2p_icp_tpu.apps import sm_cli
+        from mp2p_icp_tpu.io.rawlog import Rawlog
+
+        a = str(tmp_path / "a.sm.npz")
+        sm = make_sm(a)
+        sm.keyframes[1].twist = (0.5, 0, 0, 0, 0, 0.1)
+        sm.save(a)
+        o = str(tmp_path / "out.rawlog.npz")
+        assert sm_cli.main(["export-rawlog", a, "-o", o]) == 0
+        rl = Rawlog.load(o)
+        # 4 KFs x (1 cloud + 1 pose) + 1 twist comment
+        assert len(rl) == 9
+        assert rl.frames == sorted(rl.frames)  # grouped per KF
+        poses = [x for x in rl.observations
+                 if x.class_name == "CObservationRobotPose"]
+        assert len(poses) == 4
+        np.testing.assert_allclose(
+            np.asarray(poses[2].sensor_pose.t)[0], 2.0, atol=1e-6
+        )
+        twists = [x for x in rl.observations if x.sensor_label == "twist"]
+        assert len(twists) == 1 and "0.5" in twists[0].text
+
 
 class TestMmGeoref:
     def test_extract_inject_roundtrip(self, tmp_path, capsys):
