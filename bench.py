@@ -192,7 +192,8 @@ def main():
     # custom_vmap batched NN kernel + schedule segmentation brought the
     # vmapped program's remote-XLA compile from >10 min down to ~30 s.
     # B=16 is the measured single-chip sweet spot.
-    batched_scans_per_s, err_b, B = 0.0, -1.0, 16
+    batched_scans_per_s, err_b = 0.0, -1.0
+    B = int(os.environ.get("MP2P_BENCH_B", "16"))
     try:
         if os.environ.get("MP2P_BENCH_BATCHED", "1") == "1":
             gs, ls, gu = [], [], []
