@@ -77,9 +77,12 @@ def write_pair_bin(path, g, l):
         f.write(np.ascontiguousarray(l, np.float32).tobytes())
 
 
-def measure_cpp_baseline(g, l, threshold=2.0, reps=3):
+def measure_cpp_baseline(g, l, threshold=2.0, reps=3, guess=None,
+                         pair_path="/tmp/mp2p_bench_pair.bin"):
     """Run the single-core C++ KD-tree ICP on the identical pair; returns
-    measured aligns/s (or None if the binary can't be built/run)."""
+    the parsed result dict (or None if the binary can't be built/run).
+    ``guess``: optional (tx, ty, tz, yaw, pitch, roll) initial pose —
+    the scan-to-LARGE-map mode."""
     here = os.path.dirname(os.path.abspath(__file__))
     exe = os.path.join(here, "native", "baseline_icp")
     try:
@@ -89,19 +92,16 @@ def measure_cpp_baseline(g, l, threshold=2.0, reps=3):
                 check=True,
                 capture_output=True,
             )
-        pair = "/tmp/mp2p_bench_pair.bin"
-        write_pair_bin(pair, g, l)
+        write_pair_bin(pair_path, g, l)
+        cmd = [exe, pair_path, str(reps), str(threshold)]
+        if guess is not None:
+            cmd += [str(v) for v in guess]
         out = subprocess.run(
-            [exe, pair, str(reps), str(threshold)],
-            check=True,
-            capture_output=True,
-            text=True,
-            timeout=600,
+            cmd, check=True, capture_output=True, text=True, timeout=600
         )
-        r = json.loads(out.stdout.strip())
-        return float(r["aligns_per_s"]), int(r["iters"])
+        return json.loads(out.stdout.strip())
     except Exception:
-        return None, None
+        return None
 
 
 def main():
@@ -139,7 +139,9 @@ def main():
     l_layers = {"raw": PointCloud.from_numpy(local_xyz)}
 
     # measured single-core C++ KD-tree ICP on the SAME pair
-    cpp_aligns_per_s, cpp_iters = measure_cpp_baseline(g_scan, local_xyz)
+    cpp = measure_cpp_baseline(g_scan, local_xyz, reps=5)
+    cpp_aligns_per_s = float(cpp["aligns_per_s"]) if cpp else None
+    cpp_iters = int(cpp["iters"]) if cpp else None
 
     # icp-settings-kitti.yaml mirror: DistanceThreshold(2.0) iters 0-5 +
     # Horn, then Adaptive matcher + GN(GemanMcClure) from iter 6
@@ -170,16 +172,17 @@ def main():
     params = ICPParameters(max_iterations=40)
     guess = se3.identity()
 
-    # warmup/compile
+    # warmup/compile (the float() fetch is the only TRUE sync on this
+    # platform: jax.block_until_ready does NOT block through the axon
+    # tunnel — see CLAUDE.md timing recipe / VERDICT r2 Weak #1)
     res = icp.align(l_layers, g_layers, guess, params)
-    jax.block_until_ready(res.optimal_tf.t)
     err = float(se3.error_log_norm(gt, res.optimal_tf))
 
-    n_reps = 20
+    n_reps = 40
     t0 = time.perf_counter()
     for _ in range(n_reps):
         res = icp.align(l_layers, g_layers, guess, params)
-    jax.block_until_ready(res.optimal_tf.t)
+    _ = float(res.optimal_tf.t[0])  # host fetch: bounds all N dispatches
     dt = time.perf_counter() - t0
     scans_per_s = n_reps / dt
 
@@ -209,12 +212,12 @@ def main():
             u_b = stack_pytrees(gu)
             fb = make_batched_align(icp, params)
             rb = fb(l_b, g_b, u_b)
-            jax.block_until_ready(rb.optimal_tf.t)
-            n_batch_reps = 5
+            _ = float(rb.optimal_tf.t[0, 0])  # true sync (see above)
+            n_batch_reps = 8
             t0 = time.perf_counter()
             for _ in range(n_batch_reps):
                 rb = fb(l_b, g_b, u_b)
-            jax.block_until_ready(rb.optimal_tf.t)
+            _ = float(rb.optimal_tf.t[0, 0])
             dt_b = time.perf_counter() - t0
             batched_scans_per_s = n_batch_reps * B / dt_b
             err_b = float(
@@ -231,6 +234,7 @@ def main():
     # Scan-to-LARGE-map: 1M-point accumulated corridor map, crop + streamed
     # NN path (MP2P_BENCH_SCAN2MAP=0 disables)
     s2m_scans_per_s, s2m_err = 0.0, -1.0
+    s2m_cpp = None
     try:
         if os.environ.get("MP2P_BENCH_SCAN2MAP", "1") == "1":
             from mp2p_icp_tpu.matchers.base import LayerMatch
@@ -294,16 +298,24 @@ def main():
             lm_layers = {"raw": PointCloud.from_numpy(lx, capacity=8192)}
             gm_layers = {"map": gmap}
             r2 = icp2.align(lm_layers, gm_layers, sensor, p2)
-            jax.block_until_ready(r2.optimal_tf.t)
             s2m_err = float(se3.error_log_norm(gt2, r2.optimal_tf))
             n2 = 10
             t0 = time.perf_counter()
             for _ in range(n2):
                 r2 = icp2.align(lm_layers, gm_layers, sensor, p2)
-            jax.block_until_ready(r2.optimal_tf.t)
+            _ = float(r2.optimal_tf.t[0])  # true sync (see above)
             s2m_scans_per_s = n2 / (time.perf_counter() - t0)
             if s2m_err > 0.1:
                 s2m_scans_per_s = 0.0
+
+            # the C++ KD-tree baseline on the SAME 8k-scan-vs-1M-map
+            # problem (VERDICT r2 Missing #5): this is where the reference
+            # pays the per-map tree build (metricmap.cpp:784-802)
+            s2m_cpp = measure_cpp_baseline(
+                corridor[: 1 << 20], lx, threshold=2.0, reps=3,
+                guess=(200.0, 0.0, 1.5, 0.0, 0.0, 0.0),
+                pair_path="/tmp/mp2p_bench_s2m.bin",
+            )
     except Exception:
         pass
 
@@ -322,6 +334,26 @@ def main():
                     "batch_size": B,
                     "scan2map_1M_scans_per_s": round(s2m_scans_per_s, 2),
                     "scan2map_err": round(s2m_err, 5),
+                    "scan2map_cpp_aligns_per_s": (
+                        round(float(s2m_cpp["aligns_per_s"]), 3)
+                        if s2m_cpp else None
+                    ),
+                    "scan2map_cpp_aligns_per_s_tree_cached": (
+                        round(float(s2m_cpp["aligns_per_s_cached"]), 3)
+                        if s2m_cpp else None
+                    ),
+                    "scan2map_cpp_tree_build_s": (
+                        round(float(s2m_cpp["tree_build_s"]), 3)
+                        if s2m_cpp else None
+                    ),
+                    "scan2map_vs_baseline": (
+                        round(
+                            s2m_scans_per_s / float(s2m_cpp["aligns_per_s"]),
+                            2,
+                        )
+                        if s2m_cpp and s2m_cpp.get("aligns_per_s")
+                        else None
+                    ),
                     "cpp_kdtree_icp_aligns_per_s": cpp_aligns_per_s,
                     "cpp_iters": cpp_iters,
                     "pose_err_se3_log": round(err, 5),

@@ -92,7 +92,12 @@ class FilterDeskew(FilterBase):
         if use_traj:
             # translation: constant-velocity model v*t overrides the
             # trajectory translation (reference: FilterDeskew.cpp:225-237
-            # sets pose_increment.x/y/z = v*dt after the rotation lookup)
+            # sets pose_increment.x/y/z = v*dt after the rotation lookup).
+            # DELIBERATE DEVIATION: in the reference's precise branch
+            # constant_twist stays default-constructed (only the non-precise
+            # branch at :198 assigns it), so its v*dt translation is zero;
+            # we use the configured/variables twist, which is the intended
+            # physics. Parity audits of the cited lines should expect this.
             poses = se3.Pose(poses.R, pc.time[:, None] * twist[None, :3])
         new_xyz = (
             jnp.einsum("cij,cj->ci", poses.R, pc.xyz) + poses.t

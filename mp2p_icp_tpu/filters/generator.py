@@ -212,7 +212,7 @@ class Generator:
             xyz = np.array(se3.apply(obs.sensor_pose, jnp.asarray(xyz)))
 
         if self.metric_map_definition:
-            return self._insert_custom(xyz, mm)
+            return self._insert_custom(xyz, mm, obs.sensor_pose)
 
         pc = PointCloud.from_numpy(
             xyz, intensity=intensity, ring=ring, time=time
@@ -226,7 +226,9 @@ class Generator:
         return True
 
     # -------------------------------------------------------- custom maps
-    def _insert_custom(self, xyz: np.ndarray, mm: MetricMap) -> bool:
+    def _insert_custom(
+        self, xyz: np.ndarray, mm: MetricMap, sensor_pose=None
+    ) -> bool:
         """Create-if-new + insert for a YAML-defined layer class
         (reference: implProcessCustomMap, Generator.cpp:492-612). Supported
         classes: point-map flavours (CSimplePointsMap/CPointsMapXYZI[RT])
@@ -260,11 +262,19 @@ class Generator:
             if not isinstance(vg, VoxelGridLayer):
                 vg = VoxelGridLayer.empty(cap, res)
             pts = jnp.asarray(xyz)
+            # rays originate at the SENSOR position (points were already
+            # transformed into the vehicle frame by process()), so an
+            # offset-mounted sensor carves free space from its true origin
+            origin = (
+                jnp.asarray(np.asarray(sensor_pose.t), jnp.float32)
+                if sensor_pose is not None
+                else jnp.zeros(3, jnp.float32)
+            )
             vg = update_voxel_map(
                 vg,
                 pts,
                 jnp.ones((pts.shape[0],), bool),
-                jnp.zeros(3, jnp.float32),
+                origin,
                 carve_free_space=bool(iopts.get("ray_trace", True)),
             )
             mm.layers[self.target_layer] = vg

@@ -25,7 +25,7 @@ from mp2p_icp_tpu.filters.base import FilterBase
 from mp2p_icp_tpu.filters.common import compact
 
 _OFF = 1 << 14
-_SENT = jnp.int32(2147483647)
+_SENT = 2147483647  # i32 max (plain int: no jnp at import — see voxel_hash note)
 
 
 @dataclasses.dataclass(frozen=True)

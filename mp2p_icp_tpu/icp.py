@@ -278,9 +278,18 @@ class ICP:
         # run in the SAME segment (reference: bitfields deduplicate across
         # the matcher pipeline). Windowed single-matcher segments (the KITTI
         # schedule) skip it entirely: its gathers/scatters on small tensors
-        # are ~ms-class on this TPU.
+        # are ~ms-class on this TPU. Under spatial sharding the global masks
+        # span all shards (see MatchState.create).
+        g_scale = max(
+            (
+                getattr(m, "spatial_num_shards", 1)
+                if getattr(m, "spatial_axis", None) is not None
+                else 1
+            )
+            for m in matchers
+        )
         state = (
-            MatchState.create(local_layers, global_layers)
+            MatchState.create(local_layers, global_layers, g_scale)
             if sum(active) > 1 else None
         )
         ctx = MatchContext(icp_iteration=iteration)

@@ -60,6 +60,12 @@ class MatcherAdaptive(Matcher):
     allow_match_already_matched_points: bool = False
     layer_matches: Tuple[LayerMatch, ...] = (LayerMatch(),)
     k_per_cell: int = 16
+    # TPU-specific: mesh axis name when the global map is spatially sharded
+    # (set by parallel.spatial.make_spatial_align; SURVEY §5.7) — the NN
+    # sweeps this device's shard only and all_gather-merges; neighbour
+    # coordinates then come back in NNResult.xyz (cross-shard gathers are
+    # impossible), which replaces every glayer.xyz[idx] gather below
+    spatial_axis: object = None
 
     def search_radius(self) -> float:
         return self.absolute_max_search_distance
@@ -110,6 +116,7 @@ class MatcherAdaptive(Matcher):
             res = knn_bruteforce(
                 pts, valid, glayer.xyz, glayer.valid_mask(), k=knn,
                 max_radius_sq=self.absolute_max_search_distance**2,
+                spatial_axis=self.spatial_axis,
             )
 
             # --- stage 1: adaptive threshold from 1st/2nd NN histogram
@@ -137,8 +144,11 @@ class MatcherAdaptive(Matcher):
             max_corr_dist_sq = jnp.maximum(self.minimum_corr_dist**2, ci_high)
 
             # --- stage 2a: plane detection per local point
-            safe_g = jnp.clip(res.idx, 0, glayer.capacity - 1)
-            neigh = glayer.xyz[safe_g]  # [Q, knn, 3]
+            if res.xyz is not None:  # sharded: coords rode the merge
+                neigh = res.xyz  # [Q, knn, 3]
+            else:
+                safe_g = jnp.clip(res.idx, 0, glayer.capacity - 1)
+                neigh = glayer.xyz[safe_g]  # [Q, knn, 3]
             plane_w = jnp.zeros((local.capacity,), jnp.float32)
             plane_centroid = jnp.zeros((local.capacity, 3), jnp.float32)
             plane_normal = jnp.zeros((local.capacity, 3), jnp.float32)
@@ -187,11 +197,15 @@ class MatcherAdaptive(Matcher):
             keep = keep & valid[:, None] & ~is_plane[:, None]
             w = jnp.where(keep, lm.weight * gate, 0.0)
             gidx = res.idx[:, :kk]
-            safe_gk = jnp.clip(gidx, 0, glayer.capacity - 1)
+            if res.xyz is not None:
+                globl_xyz = res.xyz[:, :kk].reshape(-1, 3)
+            else:
+                safe_gk = jnp.clip(gidx, 0, glayer.capacity - 1)
+                globl_xyz = glayer.xyz[safe_gk].reshape(-1, 3)
             pt_blocks.append(
                 PairsPt2Pt(
                     local=jnp.repeat(local.xyz, kk, axis=0),
-                    globl=glayer.xyz[safe_gk].reshape(-1, 3),
+                    globl=globl_xyz,
                     weight=w.reshape(-1),
                     local_idx=jnp.where(
                         w.reshape(-1) > 0,

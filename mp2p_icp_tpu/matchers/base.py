@@ -58,13 +58,19 @@ class MatchState(NamedTuple):
     global_paired: Dict[str, jax.Array]
 
     @staticmethod
-    def create(local_map, global_map) -> "MatchState":
+    def create(local_map, global_map, global_scale: int = 1) -> "MatchState":
+        """global_scale > 1: inside a spatially-sharded align (shard_map)
+        the global layers seen here are single SHARDS, but paired bitfields
+        must span GLOBAL ids (shard * capacity + local) — so the global
+        masks are sized capacity * num_shards and, being derived from the
+        replicated post-all_gather NN results, stay identical on every
+        device."""
         lp = {
             name: jnp.zeros((layer.capacity,), bool)
             for name, layer in point_layers(local_map).items()
         }
         gp = {
-            name: jnp.zeros((layer.capacity,), bool)
+            name: jnp.zeros((layer.capacity * global_scale,), bool)
             for name, layer in point_layers(global_map).items()
         }
         return MatchState(local_paired=lp, global_paired=gp)

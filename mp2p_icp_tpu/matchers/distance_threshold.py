@@ -64,6 +64,12 @@ class MatcherPointsDistanceThreshold(Matcher):
     # (set by parallel.spatial.make_spatial_align; SURVEY §5.7). The NN then
     # sweeps only this device's shard and all_gather-merges candidates.
     spatial_axis: object = None
+    # number of shards on spatial_axis (static; set by make_spatial_align).
+    # Cross-matcher paired bitfields and one-to-one claims then use GLOBAL
+    # ids (shard * shard_capacity + local) over a mask of this many shard
+    # capacities — identical on every device because the merged NN results
+    # are replicated post-all_gather.
+    spatial_num_shards: int = 1
 
     def search_radius(self) -> float:
         from mp2p_icp_tpu.core.params import Expression
@@ -129,13 +135,13 @@ class MatcherPointsDistanceThreshold(Matcher):
 
             # exact kNN on the MXU (see ops.nn_bruteforce) — no grid, no
             # candidate budget, the per-point angular threshold is just a
-            # per-query radius
-            if self.spatial_axis is not None and state is not None:
-                raise NotImplementedError(
-                    "spatially-sharded matching with cross-matcher paired "
-                    "bitfields is unsupported: shard-local masks cannot "
-                    "index a cross-shard global id"
-                )
+            # per-query radius. Under spatial sharding res.idx is a GLOBAL
+            # id and the paired/claim masks span all shards (see
+            # spatial_num_shards).
+            g_cap = glayer.capacity * (
+                self.spatial_num_shards if self.spatial_axis is not None
+                else 1
+            )
             res = knn_bruteforce(
                 pts,
                 valid,
@@ -148,12 +154,12 @@ class MatcherPointsDistanceThreshold(Matcher):
             keep = res.valid
             if not self.allow_match_already_matched_global_points:
                 if state is not None:
-                    gmask = state.global_paired[lm.global_layer]
+                    gmask = state.global_paired[lm.global_layer]  # [g_cap]
                     safe = jnp.clip(res.idx, 0, gmask.shape[0] - 1)
                     keep = keep & ~gmask[safe]
                 if self.pairings_per_point == 1:
                     one2one = resolve_one_to_one(
-                        res.idx, res.dist_sq, keep, glayer.capacity
+                        res.idx, res.dist_sq, keep, g_cap
                     )
                     keep = keep & one2one[:, None]
 
@@ -165,7 +171,7 @@ class MatcherPointsDistanceThreshold(Matcher):
                 jnp.arange(C, dtype=jnp.int32), k, axis=0
             )
             gidx = res.idx.reshape(-1)
-            safe_g = jnp.clip(gidx, 0, glayer.capacity - 1)
+            safe_g = jnp.clip(gidx, 0, g_cap - 1)
             if res.xyz is not None:
                 # sharded path: neighbour coords came back with the merge
                 globl_xyz = res.xyz.reshape(-1, 3)
@@ -188,12 +194,12 @@ class MatcherPointsDistanceThreshold(Matcher):
                     state.local_paired[lm.local_layer] | paired_local
                 )
                 # scatter claims into an extended table; invalid rows land in
-                # the dump slot [capacity] and are sliced away
+                # the dump slot [g_cap] and are sliced away
                 wflat = w.reshape(-1) > 0
-                gflat = jnp.where(wflat, safe_g, glayer.capacity)
+                gflat = jnp.where(wflat, safe_g, g_cap)
                 claimed = (
-                    jnp.zeros((glayer.capacity + 1,), bool).at[gflat].max(wflat)
-                )[: glayer.capacity]
+                    jnp.zeros((g_cap + 1,), bool).at[gflat].max(wflat)
+                )[:g_cap]
                 new_global[lm.global_layer] = (
                     new_global[lm.global_layer] | claimed
                 )

@@ -45,6 +45,9 @@ class MatcherPointsInlierRatio(Matcher):
     layer_matches: Tuple[LayerMatch, ...] = (LayerMatch(),)
     search_radius_hint: float = 2.0  # grid cell size (TPU-specific)
     k_per_cell: int = 16
+    # TPU-specific: 'space' mesh axis when the global map is spatially
+    # sharded (parallel.spatial; see matchers/adaptive.py note)
+    spatial_axis: object = None
 
     def search_radius(self) -> float:
         return self.search_radius_hint
@@ -82,6 +85,7 @@ class MatcherPointsInlierRatio(Matcher):
             # radius limit either; the ratio cut below does the gating)
             res = knn_bruteforce(
                 pts, valid, glayer.xyz, glayer.valid_mask(), k=1,
+                spatial_axis=self.spatial_axis,
             )
             d = jnp.where(res.valid[:, 0], res.dist_sq[:, 0], _BIG)
             n_valid = jnp.sum((d < _BIG).astype(jnp.int32))
@@ -92,11 +96,15 @@ class MatcherPointsInlierRatio(Matcher):
 
             w = jnp.where(keep, lm.weight * gate, 0.0)
             gidx = res.idx[:, 0]
-            safe_g = jnp.clip(gidx, 0, glayer.capacity - 1)
+            if res.xyz is not None:  # sharded: coords rode the merge
+                globl_xyz = res.xyz[:, 0]
+            else:
+                safe_g = jnp.clip(gidx, 0, glayer.capacity - 1)
+                globl_xyz = glayer.xyz[safe_g]
             blocks.append(
                 PairsPt2Pt(
                     local=local.xyz,
-                    globl=glayer.xyz[safe_g],
+                    globl=globl_xyz,
                     weight=w,
                     local_idx=jnp.where(
                         w > 0, jnp.arange(local.capacity, dtype=jnp.int32), -1

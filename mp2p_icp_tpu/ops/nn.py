@@ -28,7 +28,7 @@ from mp2p_icp_tpu.ops.voxel_hash import (
     hash_cells,
 )
 
-_BIG = jnp.float32(3.0e37)
+_BIG = 3.0e37  # (plain float: no jnp at import — see voxel_hash note)
 
 
 class NNResult(NamedTuple):

@@ -34,7 +34,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(3.0e37)
+_BIG = 3.0e37  # (plain float: no jnp at import — see voxel_hash note)
 
 
 class NNResult(NamedTuple):
@@ -443,6 +443,17 @@ def _knn_pallas_streamed(q, p, k, Qp, block_c, interpret, stream_block):
     """Streamed pallas path for C > stream_block: fori_loop over point
     superblocks, each swept by the in-VMEM gridless kernel, running top-k
     merged across superblocks. Returns (partial_d [Q, k], idx [Q, k])."""
+    # the gridless kernel sweeps exactly stream_block // block_c blocks per
+    # superblock: a non-divisible stream_block would silently skip the tail
+    # points of EVERY superblock, and block_c > stream_block would sweep
+    # zero blocks (all results invalid)
+    if block_c > stream_block:
+        block_c = 128
+    if stream_block % block_c != 0:
+        raise ValueError(
+            f"stream_block ({stream_block}) must be a multiple of the "
+            f"kernel point-block size ({block_c})"
+        )
     Q, C = q.shape[0], p.shape[0]
     far = jnp.float32(1.0e8)
     SB = stream_block

@@ -103,9 +103,14 @@ def build_hash_grid(
 
 
 # The 27 neighbour offsets of a 3x3x3 cell neighbourhood, static constant.
-NEIGHBOR_OFFSETS = jnp.stack(
-    jnp.meshgrid(
-        jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
+# numpy on purpose: a module-level jnp array would initialise the XLA
+# backend at import time, breaking jax.distributed.initialize() (which
+# must run first in multi-process mode — parallel/multihost.py)
+import numpy as _np
+
+NEIGHBOR_OFFSETS = _np.stack(
+    _np.meshgrid(
+        _np.arange(-1, 2), _np.arange(-1, 2), _np.arange(-1, 2), indexing="ij"
     ),
     axis=-1,
 ).reshape(27, 3)

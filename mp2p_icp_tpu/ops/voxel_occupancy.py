@@ -26,7 +26,7 @@ from mp2p_icp_tpu.core.metric_map import VoxelGridLayer
 L_HIT = 1.2
 L_MISS = -0.3
 L_MIN, L_MAX = -6.0, 6.0
-_KEY_SENT = jnp.int32(2147483647)
+_KEY_SENT = 2147483647  # i32 max (plain int: no jnp at import — see voxel_hash note)
 
 
 def _logodds(occ):

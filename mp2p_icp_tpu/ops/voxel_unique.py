@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 _OFFSET = 1 << 14  # cells in [-16384, 16383] per axis (15-bit packing
 # keeps k1 = (c0 << 15) | c1 < 2^30 — int32-safe, sentinel unambiguous)
-_SENTINEL = jnp.int32(2147483647)
+_SENTINEL = 2147483647  # i32 max (plain int: no jnp at import — see voxel_hash note)
 
 
 class VoxelSegments(NamedTuple):

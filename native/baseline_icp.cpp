@@ -15,8 +15,16 @@
 //
 // Input: binary file
 //   int32 nG, float32 xyzG[nG*3], int32 nL, float32 xyzL[nL*3]
-// argv: file n_reps [threshold]
-// Output: one JSON line {"aligns_per_s":..,"iters":..,"tx":..,...}
+// argv: file n_reps [threshold] [tx ty tz yaw pitch roll]
+//   the optional 6-DoF initial guess makes this the scan-to-LARGE-map
+//   baseline (BASELINE.md / VERDICT r2 Missing #1): G is then an
+//   accumulated map (e.g. 1M points) and L a sensor-frame scan whose world
+//   pose rides in the guess, matching bench.py's scan2map workload.
+// Output: one JSON line {"aligns_per_s":..,"iters":..,"tx":..,...};
+//   aligns_per_s pays the per-align KD-tree build (the reference builds
+//   per-map trees lazily and rebuilds on map update — an odometry map
+//   changes every keyframe, metricmap.cpp:784-802); aligns_per_s_cached
+//   reuses one tree across reps (best case: a frozen map).
 //
 // Usage: bench.py writes the identical synthetic pair it benchmarks on the
 // TPU, runs this binary, and reports vs_baseline against the measured
@@ -232,15 +240,27 @@ int main(int argc, char **argv) {
   const float thr = argc > 3 ? (float)std::atof(argv[3]) : 2.0f;
   const float thr2 = thr * thr;
 
-  Pose final_pose;
-  int final_iters = 0;
-  auto t0 = std::chrono::steady_clock::now();
-  for (int rep = 0; rep < reps; rep++) {
-    // per-align tree build: scan-to-scan means a fresh global cloud each
-    // pair, exactly like the reference's lazy per-map KD-tree
-    KDTree tree;
-    tree.build(G);
-    Pose pose;
+  // optional 6-DoF initial guess (scan-to-map mode): ZYX yaw-pitch-roll
+  Pose guess;
+  if (argc > 9) {
+    guess.t[0] = (float)std::atof(argv[4]);
+    guess.t[1] = (float)std::atof(argv[5]);
+    guess.t[2] = (float)std::atof(argv[6]);
+    const double cy = std::cos(std::atof(argv[7])), sy = std::sin(std::atof(argv[7]));
+    const double cp = std::cos(std::atof(argv[8])), sp = std::sin(std::atof(argv[8]));
+    const double cr = std::cos(std::atof(argv[9])), sr = std::sin(std::atof(argv[9]));
+    guess.R[0] = (float)(cy * cp);
+    guess.R[1] = (float)(cy * sp * sr - sy * cr);
+    guess.R[2] = (float)(cy * sp * cr + sy * sr);
+    guess.R[3] = (float)(sy * cp);
+    guess.R[4] = (float)(sy * sp * sr + cy * cr);
+    guess.R[5] = (float)(sy * sp * cr - cy * sr);
+    guess.R[6] = (float)(-sp);
+    guess.R[7] = (float)(cp * sr);
+    guess.R[8] = (float)(cp * cr);
+  }
+
+  auto run_icp = [&](const KDTree &tree, Pose pose, int &iters_out) {
     std::vector<std::pair<int, int>> pairs;
     pairs.reserve(L.size());
     int it = 0;
@@ -253,7 +273,26 @@ int main(int argc, char **argv) {
         if (j >= 0) pairs.emplace_back(i, j);
       }
       if (pairs.empty()) break;
-      Pose next = horn(L, G, pairs);
+      // Horn solves for the FULL pose from raw local points; with a guess,
+      // solve on guess-transformed locals then compose (same as the
+      // reference seeding currentSolution with the guess, ICP.cpp:129).
+      std::vector<V3> Lt(L.size());
+      for (size_t i = 0; i < L.size(); i++) Lt[i] = pose.apply(L[i]);
+      std::vector<std::pair<int, int>> id_pairs = pairs;
+      Pose delta = horn(Lt, G, id_pairs);
+      // next = delta ∘ pose
+      Pose next;
+      for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 3; j++) {
+          float s = 0;
+          for (int k = 0; k < 3; k++) s += delta.R[3 * i + k] * pose.R[3 * k + j];
+          next.R[3 * i + j] = s;
+        }
+      for (int i = 0; i < 3; i++) {
+        float s = delta.t[i];
+        for (int k = 0; k < 3; k++) s += delta.R[3 * i + k] * pose.t[k];
+        next.t[i] = s;
+      }
       float dt = 0, dr = 0;
       for (int a = 0; a < 3; a++) {
         float d = next.t[a] - pose.t[a];
@@ -269,15 +308,40 @@ int main(int argc, char **argv) {
         break;
       }
     }
-    final_pose = pose;
-    final_iters = it;
+    iters_out = it;
+    return pose;
+  };
+
+  Pose final_pose;
+  int final_iters = 0;
+  auto t0 = std::chrono::steady_clock::now();
+  for (int rep = 0; rep < reps; rep++) {
+    // per-align tree build: the reference's lazy per-map KD-tree is
+    // invalidated whenever the map changes (every odometry keyframe)
+    KDTree tree;
+    tree.build(G);
+    final_pose = run_icp(tree, guess, final_iters);
   }
   auto t1 = std::chrono::steady_clock::now();
   double secs = std::chrono::duration<double>(t1 - t0).count();
+
+  // tree-cached variant: one build amortised over all reps (frozen map)
+  KDTree tree;
+  auto tb0 = std::chrono::steady_clock::now();
+  tree.build(G);
+  auto tb1 = std::chrono::steady_clock::now();
+  double tree_secs = std::chrono::duration<double>(tb1 - tb0).count();
+  int it2 = 0;
+  auto t2 = std::chrono::steady_clock::now();
+  for (int rep = 0; rep < reps; rep++) final_pose = run_icp(tree, guess, it2);
+  auto t3 = std::chrono::steady_clock::now();
+  double secs_cached = std::chrono::duration<double>(t3 - t2).count();
+
   std::printf(
-      "{\"aligns_per_s\": %.4f, \"iters\": %d, \"tx\": %.4f, \"ty\": %.4f, "
+      "{\"aligns_per_s\": %.4f, \"aligns_per_s_cached\": %.4f, "
+      "\"tree_build_s\": %.4f, \"iters\": %d, \"tx\": %.4f, \"ty\": %.4f, "
       "\"tz\": %.4f}\n",
-      reps / secs, final_iters, final_pose.t[0], final_pose.t[1],
-      final_pose.t[2]);
+      reps / secs, reps / secs_cached, tree_secs, final_iters,
+      final_pose.t[0], final_pose.t[1], final_pose.t[2]);
   return 0;
 }
