@@ -18,6 +18,11 @@ def main(argv=None):
     ap.add_argument("input", help=".icplog.npz record")
     ap.add_argument("-o", "--output-prefix", default=None,
                     help="write <prefix>_overlay.png")
+    ap.add_argument("-i", "--iteration", type=int, default=None,
+                    help="render the recorded pairings of iteration N "
+                         "(requires a log written with record_pairings; "
+                         "reference GUI equivalent: the iteration slider + "
+                         "pairing lines, icp-log-viewer/main.cpp)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -42,10 +47,31 @@ def main(argv=None):
         cnts = np.asarray(its["pair_counts"])
         print("  per-iteration trace:")
         for i in range(len(ts)):
-            print(
+            line = (
                 f"    it {i:3d}: t={ts[i].round(4).tolist()} "
                 f"pairs={int(cnts[i])}"
             )
+            if "pairings" in its:
+                # residual stats over the recorded (decimated) pt2pt pairs
+                # at that iteration's pose
+                import jax.numpy as jnp
+
+                blk = its["pairings"].pt2pt
+                w = np.asarray(blk.weight[i])
+                sel = w > 0
+                if sel.any():
+                    pose_i = se3.Pose(its["poses"].R[i], its["poses"].t[i])
+                    loc = np.array(
+                        se3.apply(pose_i, jnp.asarray(blk.local[i]))
+                    )
+                    d = np.linalg.norm(
+                        loc[sel] - np.asarray(blk.globl[i])[sel], axis=1
+                    )
+                    line += (
+                        f" rec={int(sel.sum())}"
+                        f" d_mean={d.mean():.4f} d_max={d.max():.4f}"
+                    )
+            print(line)
 
     if args.output_prefix:
         import matplotlib
@@ -74,6 +100,48 @@ def main(argv=None):
         out = f"{args.output_prefix}_overlay.png"
         fig.savefig(out, dpi=110, bbox_inches="tight")
         print(f"  overlay    : {out}")
+
+        # iteration playback frame: pairing lines local->global at the
+        # selected iteration's pose (reference: icp-log-viewer's pairing
+        # line rendering over the iteration slider)
+        if args.iteration is not None:
+            if "iterations" not in log or "pairings" not in log["iterations"]:
+                print("  (no recorded per-iteration pairings in this log)")
+            else:
+                import jax.numpy as jnp
+
+                its = log["iterations"]
+                i = args.iteration
+                n_it = np.asarray(its["poses"].t).shape[0]
+                if not (0 <= i < n_it):
+                    raise SystemExit(
+                        f"iteration {i} out of range [0, {n_it})"
+                    )
+                blk = its["pairings"].pt2pt
+                w = np.asarray(blk.weight[i])
+                sel = w > 0
+                pose_i = se3.Pose(its["poses"].R[i], its["poses"].t[i])
+                loc = np.array(se3.apply(pose_i, jnp.asarray(blk.local[i])))
+                glb = np.asarray(blk.globl[i])
+                fig2, ax = plt.subplots(figsize=(8, 8))
+                ax.scatter(g[:, 0], g[:, 1], s=1, c="gray", label="global")
+                li = np.array(
+                    se3.apply(pose_i, jnp.asarray(l_raw))
+                )
+                ax.scatter(li[:, 0], li[:, 1], s=1, c="red", label="local")
+                for a_, b_ in zip(loc[sel], glb[sel]):
+                    ax.plot(
+                        [a_[0], b_[0]], [a_[1], b_[1]],
+                        c="tab:blue", lw=0.4, alpha=0.6,
+                    )
+                ax.set_title(
+                    f"iteration {i}: {int(sel.sum())} recorded pairings"
+                )
+                ax.set_aspect("equal")
+                ax.legend(markerscale=8)
+                out2 = f"{args.output_prefix}_iter{i:03d}.png"
+                fig2.savefig(out2, dpi=110, bbox_inches="tight")
+                print(f"  iter frame : {out2}")
     return 0
 
 

@@ -82,6 +82,9 @@ class Georeferencing:
     height: float = 0.0
     t_enu_to_map_xyz: tuple = (0.0, 0.0, 0.0)
     t_enu_to_map_quat_wxyz: tuple = (1.0, 0.0, 0.0, 0.0)
+    # 6x6 SE(3) covariance of T_enu_to_map (reference: CPose3DPDFGaussian
+    # cov, metricmap.cpp:842) as a nested 6-tuple of 6-tuples; None = exact
+    t_enu_to_map_cov: Optional[tuple] = None
 
 
 Layer = Union[PointCloud, "VoxelGridLayer"]

@@ -170,6 +170,30 @@ class PairsPl2Pl:
         return PairsPl2Pl(z, z, z, z, jnp.zeros((capacity,), jnp.float32))
 
 
+def _decimate_block(block, capacity: int):
+    """Stride-decimate a pairing block's valid rows to <= capacity and
+    compact them to the front (same even-stride trick as the large-map
+    crop: plain truncation would bias toward low local indices)."""
+    if block.capacity <= capacity:
+        return block
+    valid = block.valid()
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    total = jnp.sum(valid.astype(jnp.int32))
+    stride = jnp.maximum((total + capacity - 1) // capacity, 1)
+    keep = valid & (rank % stride == 0)
+    # stable argsort(~keep): kept rows first, original order preserved
+    order = jnp.argsort(~keep)[:capacity]
+    cnt = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
+    live = jnp.arange(capacity) < cnt
+    out = {}
+    for f in dataclasses.fields(block):
+        a = getattr(block, f.name)[order]
+        fill = -1 if jnp.issubdtype(a.dtype, jnp.integer) else 0
+        mask = live if a.ndim == 1 else live[:, None]
+        out[f.name] = jnp.where(mask, a, jnp.asarray(fill, a.dtype))
+    return type(block)(**out)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Pairings:
@@ -209,6 +233,21 @@ class Pairings:
             + self.pt2pl.count()
             + self.ln2ln.count()
             + self.pl2pl.count()
+        )
+
+    def decimated(self, capacity: int) -> "Pairings":
+        """Evenly-strided subset of the valid pairs of every block, each
+        compacted to ``capacity`` rows — the capacity-bounded per-iteration
+        pairing record for LogRecord playback (reference keeps the FULL
+        Pairings per iteration, LogRecord.h:58-71; on TPU a bounded record
+        keeps the recording scan's memory static and small)."""
+        return Pairings(
+            pt2pt=_decimate_block(self.pt2pt, capacity),
+            pt2ln=_decimate_block(self.pt2ln, capacity),
+            pt2pl=_decimate_block(self.pt2pl, capacity),
+            ln2ln=_decimate_block(self.ln2ln, capacity),
+            pl2pl=_decimate_block(self.pl2pl, capacity),
+            potential_pairings=self.potential_pairings,
         )
 
     def empty_flag(self) -> jax.Array:

@@ -84,6 +84,12 @@ class ICPParameters:
     # iterationsDetails, LogRecord.h:58-71) — runs the loop as a bounded
     # lax.scan instead of while_loop (always max_iterations steps)
     record_iterations: bool = False
+    # additionally record a decimated per-iteration Pairings snapshot
+    # (reference keeps the FULL Pairings per iteration for icp-log-viewer
+    # playback, LogRecord.h:58-71 / ICP.cpp:232-241; the TPU record is
+    # capacity-bounded so the recording scan stays static-shaped)
+    record_pairings: bool = False
+    record_pairings_capacity: int = 512
     # --- scan-to-LARGE-map cropping (TPU-specific) ---------------------
     # The reference registers scans against multi-million-point accumulated
     # maps via lazy KD-trees (metricmap.cpp:784-802). The TPU equivalent:
@@ -114,6 +120,9 @@ class ICPResults(NamedTuple):
     # populated only when ICPParameters.record_iterations (else None):
     iteration_poses: Optional[Pose] = None  # stacked [max_iterations]
     iteration_pair_counts: Optional[jax.Array] = None  # [max_iterations]
+    # per-iteration decimated Pairings (record_pairings; leading dim =
+    # max_iterations)
+    iteration_pairings: Optional[Pairings] = None
 
 
 class _LoopCarry(NamedTuple):
@@ -570,11 +579,12 @@ class ICP:
         )
         iter_poses = None
         iter_counts = None
+        iter_pairs = None
         if params.record_iterations:
             # bounded scans: after termination the carry is held frozen, so
             # the recorded tail repeats the final state
             carry = init
-            rec_p, rec_c = [], []
+            rec_p, rec_c, rec_pr = [], [], []
             for a, b, m_act, s_act in segments:
                 body = make_body(m_act, s_act)
 
@@ -583,21 +593,34 @@ class ICP:
                     new_carry = jax.lax.cond(
                         run, lambda c: body(c), lambda c: c, carry
                     )
+                    rec = (
+                        new_carry.pairings.decimated(
+                            params.record_pairings_capacity
+                        )
+                        if params.record_pairings
+                        else 0
+                    )
                     return new_carry, (
                         new_carry.pose,
                         new_carry.pairings.size(),
+                        rec,
                     )
 
-                carry, (p_seg, c_seg) = jax.lax.scan(
+                carry, (p_seg, c_seg, pr_seg) = jax.lax.scan(
                     scan_body, carry, None, length=b - a
                 )
                 rec_p.append(p_seg)
                 rec_c.append(c_seg)
+                rec_pr.append(pr_seg)
             final = carry
             iter_poses = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *rec_p
             )
             iter_counts = jnp.concatenate(rec_c, axis=0)
+            if params.record_pairings:
+                iter_pairs = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *rec_pr
+                )
         else:
             # one while_loop per schedule segment; a segment whose entry
             # condition is already false (converged earlier) costs one
@@ -648,4 +671,5 @@ class ICP:
             covariance=cov,
             iteration_poses=iter_poses,
             iteration_pair_counts=iter_counts,
+            iteration_pairings=iter_pairs,
         )

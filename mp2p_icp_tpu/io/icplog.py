@@ -43,6 +43,18 @@ def save_log(path, local_mm, global_mm, guess, results) -> None:
         arrays["iters/pair_counts"] = np.asarray(
             results.iteration_pair_counts
         )
+    # per-iteration decimated Pairings (reference: LogRecord.h:58-71 keeps
+    # full Pairings per iteration for icp-log-viewer playback)
+    import dataclasses as _dc
+
+    ip = getattr(results, "iteration_pairings", None)
+    if ip is not None:
+        for block_name in ("pt2pt", "pt2ln", "pt2pl", "ln2ln", "pl2pl"):
+            block = getattr(ip, block_name)
+            for f in _dc.fields(block):
+                arrays[f"iters/pairings/{block_name}/{f.name}"] = np.asarray(
+                    getattr(block, f.name)
+                )
     for prefix, mm in (("local", local_mm), ("global", global_mm)):
         for name, pc in layers_of(mm).items():
             arrays[f"{prefix}/{name}/xyz"] = np.asarray(pc.xyz)
@@ -79,6 +91,28 @@ def load_log(path):
                 ),
                 "pair_counts": jnp.asarray(data["iters/pair_counts"]),
             }
+        if "iters/pairings/pt2pt/weight" in data.files:
+            import dataclasses as _dc
+
+            from mp2p_icp_tpu.core import pairings as _pairings
+
+            blocks = {}
+            for block_name, cls in (
+                ("pt2pt", _pairings.PairsPt2Pt),
+                ("pt2ln", _pairings.PairsPt2Ln),
+                ("pt2pl", _pairings.PairsPt2Pl),
+                ("ln2ln", _pairings.PairsLn2Ln),
+                ("pl2pl", _pairings.PairsPl2Pl),
+            ):
+                blocks[block_name] = cls(**{
+                    f.name: jnp.asarray(
+                        data[f"iters/pairings/{block_name}/{f.name}"]
+                    )
+                    for f in _dc.fields(cls)
+                })
+            out["iterations"]["pairings"] = _pairings.Pairings(
+                potential_pairings=jnp.asarray(0, jnp.int32), **blocks
+            )
         for key in data.files:
             for prefix in ("local", "global"):
                 if key.startswith(prefix + "/") and key.endswith("/xyz"):

@@ -69,6 +69,10 @@ def save_mm_file(path: str, mm: MetricMap) -> None:
                 mm.georeferencing.t_enu_to_map_quat_wxyz
             ),
         }
+        if mm.georeferencing.t_enu_to_map_cov is not None:
+            meta["georeferencing"]["t_enu_to_map_cov"] = [
+                list(row) for row in mm.georeferencing.t_enu_to_map_cov
+            ]
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
@@ -135,5 +139,10 @@ def load_mm_file(path: str) -> MetricMap:
                 height=g["height"],
                 t_enu_to_map_xyz=tuple(g["t_enu_to_map_xyz"]),
                 t_enu_to_map_quat_wxyz=tuple(g["t_enu_to_map_quat_wxyz"]),
+                t_enu_to_map_cov=(
+                    tuple(tuple(row) for row in g["t_enu_to_map_cov"])
+                    if "t_enu_to_map_cov" in g
+                    else None
+                ),
             )
     return mm

@@ -1,4 +1,4 @@
-"""Read-only parser for the reference's binary MRPT ``.mm`` archives.
+"""Reader AND writer for the reference's binary MRPT ``.mm`` archives.
 
 Reference format (mp2p_icp_map/src/metricmap.cpp:48-178 serializeTo/From,
 :651-677 save/load_to_file): a gzipped MRPT CSerializable archive holding a
@@ -16,15 +16,32 @@ Reference format (mp2p_icp_map/src/metricmap.cpp:48-178 serializeTo/From,
                      (magic "mp2p_icp::Georeferencing", metricmap.cpp:824-870)
                v>=5: metadata bool + YAML string
 
-Point layers of class mrpt::maps::CSimplePointsMap (serialization v10:
-n:u32, x[n]:f32, y[n]:f32, z[n]:f32, TMapGenericParams sub-object, then a
-fixed 58-byte insertion/likelihood/render-options blob) are decoded into
-PointCloud layers; anything else raises a descriptive error rather than
-guessing. This is enough to load the reference's own demo data
-(/root/reference/demos/global_001.mm, local_001.mm) for parity testing.
+Point-layer classes decoded into PointCloud layers:
+  - mrpt::maps::CSimplePointsMap v10: n, x[n], y[n], z[n] (f32),
+    TMapGenericParams sub-object, 62-byte options blob (verified on the
+    reference demo files; boundaries: insertionOptions 19 B,
+    likelihoodOptions 21 B, renderOptions 22 B).
+  - mrpt::maps::CPointsMapXYZI v0 (what apps/kitti2mm emits,
+    kitti2mm/main.cpp:59-68): n, x/y/z/intensity arrays, then the generic
+    params + a fixed-size options tail located by a structurally-validated
+    end-marker scan (see _consume_options_tail).
+  - mrpt::maps::CPointsMapXYZIRT v0: n, x/y/z arrays, then
+    length-prefixed intensity (f32) / ring (u16) / time (f32) vectors,
+    generic params + options tail.
 
-This is an independent re-implementation from the observed byte layout and
-the reference's serializeTo sources — no MRPT code is copied.
+Georeferencing (metricmap.cpp:824-870): lat/lon/height f64 triplet +
+``T_enu_to_map`` as an mrpt::poses::CPose3DPDFGaussian object — mean
+CPose3D (v2: 7 f64 = x y z qr qx qy qz) + 6x6 covariance (symmetric
+storage: 6 diagonal then 15 upper-triangle f64; size-prefixed and
+full-36 variants also accepted, each validated against the object end
+marker before being trusted).
+
+Anything else raises a descriptive error rather than guessing. This is an
+independent re-implementation from the observed byte layout and the
+reference's serializeTo sources — no MRPT code is copied. The writer is
+byte-validated against the reference's own demo data: loading
+/root/reference/demos/global_001.mm and re-saving reproduces the original
+archive bit-for-bit (tests/test_mrpt_mm.py).
 """
 
 from __future__ import annotations
@@ -56,6 +73,9 @@ class _Reader:
     def u8(self) -> int:
         return self.take(1)[0]
 
+    def u16(self) -> int:
+        return struct.unpack("<H", self.take(2))[0]
+
     def u32(self) -> int:
         return struct.unpack("<I", self.take(4))[0]
 
@@ -67,6 +87,9 @@ class _Reader:
 
     def f64s(self, n: int) -> np.ndarray:
         return np.frombuffer(self.take(8 * n), dtype="<f8").copy()
+
+    def u16s(self, n: int) -> np.ndarray:
+        return np.frombuffer(self.take(2 * n), dtype="<u2").copy()
 
     def boolean(self) -> bool:
         return self.u8() != 0
@@ -110,12 +133,98 @@ class _Reader:
         return tname, self.boolean()
 
 
-# fixed options-blob length after the TMapGenericParams sub-object in a
-# CSimplePointsMap v10 payload: insertionOptions + likelihoodOptions +
-# renderOptions (fixed-size fields for this serialization version) —
-# 62 bytes, verified on both reference demo files; the end-marker
-# assertion below catches any drift.
-_SIMPLEPOINTS_V10_OPTS_LEN = 62
+class _Writer:
+    def __init__(self):
+        self.b = bytearray()
+
+    def u8(self, v: int):
+        self.b.append(v & 0xFF)
+
+    def u32(self, v: int):
+        self.b += struct.pack("<I", v)
+
+    def u64(self, v: int):
+        self.b += struct.pack("<Q", v)
+
+    def f64(self, v: float):
+        self.b += struct.pack("<d", float(v))
+
+    def f32_array(self, a: np.ndarray):
+        self.b += np.ascontiguousarray(a, dtype="<f4").tobytes()
+
+    def f64_array(self, a: np.ndarray):
+        self.b += np.ascontiguousarray(a, dtype="<f8").tobytes()
+
+    def u16_array(self, a: np.ndarray):
+        self.b += np.ascontiguousarray(a, dtype="<u2").tobytes()
+
+    def string(self, s: str):
+        raw = s.encode("latin-1")
+        self.u32(len(raw))
+        self.b += raw
+
+    def obj_header(self, name: str, version: int):
+        raw = name.encode("latin-1")
+        if len(raw) > 127:
+            raise ValueError(f"class name too long: {name}")
+        self.u8(0x80 | len(raw))
+        self.b += raw
+        self.u8(version)
+
+    def end(self):
+        self.u8(_END)
+
+    def boolean(self, v: bool):
+        self.u8(1 if v else 0)
+
+
+# ------------------------------------------------------------ options blobs
+# The fixed-size MRPT map-options tail as serialized by the reference's own
+# demo data (default-constructed options; boundaries verified field by
+# field): insertionOptions (19 B: version + minDistBetweenLaserPoints f32 +
+# 5 bools + horizontalTolerance f32 + maxDistForInterpolatePoints f32 +
+# insertInvalidPoints bool), likelihoodOptions (21 B: version + sigma_dist
+# f64 + max_corr_distance f64 + decimation u32), renderOptions (22 B:
+# version + point_size f32 + TColorf RGBA 4xf32 + colormap i8).
+_OPTS_INSERTION = bytes.fromhex("000ad7a33c010001000088c3643a0000004000")
+_OPTS_LIKELIHOOD = bytes.fromhex("007b14ae47e17a643f000000000000f03f0a000000")
+_OPTS_RENDER = bytes.fromhex("000000803f00000000000000000000803f0000803fff")
+_SIMPLEPOINTS_V10_OPTS = _OPTS_INSERTION + _OPTS_LIKELIHOOD + _OPTS_RENDER
+assert len(_SIMPLEPOINTS_V10_OPTS) == 62
+# CPointsMapXYZI/XYZIRT v0 write insertion + likelihood options only
+_XYZI_V0_OPTS = _OPTS_INSERTION + _OPTS_LIKELIHOOD
+
+_GENERIC_PARAMS_CLS = "mrpt::maps::TMapGenericParams"
+
+
+def _parse_generic_params(r: _Reader):
+    name, _ = r.object_header()
+    if name != _GENERIC_PARAMS_CLS:
+        raise ValueError(
+            f".mm: expected TMapGenericParams sub-object, got '{name}'"
+        )
+    bools = r.take(3)
+    r.expect_end("TMapGenericParams")
+    return bools
+
+
+def _consume_options_tail(r: _Reader, what: str, continuation_ok, max_tail=256):
+    """Locate the layer object's end marker past a fixed-size (version-
+    dependent) MRPT options tail whose exact length we do not hard-code:
+    scan forward for 0x88 whose CONTINUATION parses as the enclosing
+    structure expects (next layer-name string / std::optional framing /
+    archive end). Returns the tail length consumed."""
+    start = r.i
+    limit = min(start + max_tail, len(r.d))
+    for j in range(start, limit):
+        if r.d[j] == _END and continuation_ok(j + 1):
+            r.i = j + 1
+            return j - start
+    raise ValueError(
+        f".mm: could not locate the end of the {what} options tail within "
+        f"{max_tail} bytes at offset {start} — unsupported serialization "
+        "layout"
+    )
 
 
 def _parse_simple_points_map(r: _Reader, version: int):
@@ -128,17 +237,74 @@ def _parse_simple_points_map(r: _Reader, version: int):
     x = r.f32s(n)
     y = r.f32s(n)
     z = r.f32s(n)
-    # TMapGenericParams sub-object
-    name, _ = r.object_header()
-    if name != "mrpt::maps::TMapGenericParams":
-        raise ValueError(
-            f".mm: expected TMapGenericParams sub-object, got '{name}'"
-        )
-    r.take(3)  # three bools
-    r.expect_end("TMapGenericParams")
-    r.take(_SIMPLEPOINTS_V10_OPTS_LEN)
+    _parse_generic_params(r)
+    r.take(len(_SIMPLEPOINTS_V10_OPTS))
     r.expect_end("CSimplePointsMap")
-    return np.stack([x, y, z], axis=1).astype(np.float32)
+    return np.stack([x, y, z], axis=1).astype(np.float32), {}
+
+
+def _parse_points_map_xyzi(r: _Reader, version: int, continuation_ok):
+    """mrpt::maps::CPointsMapXYZI v0 (the class apps/kitti2mm emits,
+    kitti2mm/main.cpp:59-68): n, x/y/z/intensity f32 arrays, generic
+    params, fixed options tail."""
+    if version != 0:
+        raise ValueError(
+            f".mm: CPointsMapXYZI serialization v{version} unsupported"
+        )
+    n = r.u32()
+    x = r.f32s(n)
+    y = r.f32s(n)
+    z = r.f32s(n)
+    inten = r.f32s(n)
+    _parse_generic_params(r)
+    _consume_options_tail(r, "CPointsMapXYZI", continuation_ok)
+    return (
+        np.stack([x, y, z], axis=1).astype(np.float32),
+        {"intensity": inten},
+    )
+
+
+def _parse_points_map_xyzirt(r: _Reader, version: int, continuation_ok):
+    """mrpt::maps::CPointsMapXYZIRT v0: n + x/y/z arrays, then
+    length-prefixed intensity (f32) / ring (u16) / time (f32) channel
+    vectors (each empty or length n), generic params, options tail."""
+    if version != 0:
+        raise ValueError(
+            f".mm: CPointsMapXYZIRT serialization v{version} unsupported"
+        )
+    n = r.u32()
+    x = r.f32s(n)
+    y = r.f32s(n)
+    z = r.f32s(n)
+
+    def channel(reader_fn, name):
+        m = r.u32()
+        if m not in (0, n):
+            raise ValueError(
+                f".mm: XYZIRT {name} channel length {m} != point count {n}"
+            )
+        return reader_fn(m) if m else None
+
+    inten = channel(r.f32s, "intensity")
+    ring = channel(r.u16s, "ring")
+    time = channel(r.f32s, "time")
+    _parse_generic_params(r)
+    _consume_options_tail(r, "CPointsMapXYZIRT", continuation_ok)
+    ch = {}
+    if inten is not None:
+        ch["intensity"] = inten
+    if ring is not None:
+        ch["ring"] = ring.astype(np.float32)
+    if time is not None:
+        ch["time"] = time
+    return np.stack([x, y, z], axis=1).astype(np.float32), ch
+
+
+_POINT_LAYER_PARSERS = {
+    "CSimplePointsMap": lambda r, v, cont: _parse_simple_points_map(r, v),
+    "CPointsMapXYZI": _parse_points_map_xyzi,
+    "CPointsMapXYZIRT": _parse_points_map_xyzirt,
+}
 
 
 def _parse_lines_vector(r: _Reader):
@@ -152,7 +318,67 @@ def _parse_lines_vector(r: _Reader):
     return r.f64s(6 * n).reshape(n, 6) if n else np.zeros((0, 6))
 
 
+def _sym_cov_from_parts(diag: np.ndarray, upper: np.ndarray) -> np.ndarray:
+    m = np.diag(diag).astype(np.float64)
+    k = 0
+    for r_ in range(5):
+        for c in range(r_ + 1, 6):
+            m[r_, c] = m[c, r_] = upper[k]
+            k += 1
+    return m
+
+
+def _cov_sane(diag: np.ndarray) -> bool:
+    return bool(np.all(np.isfinite(diag)) and np.all(diag >= 0) and np.all(diag < 1e15))
+
+
+def _parse_cov66(r: _Reader) -> np.ndarray:
+    """6x6 covariance payload of CPose3DPDFGaussian. MRPT's symmetric-matrix
+    serialization stores 6 diagonal + 15 upper-triangle f64; accept also a
+    u32(6)-size-prefixed variant and a full 36-f64 dump. Each candidate is
+    only trusted if the object end marker lands exactly after it AND the
+    diagonal is a plausible variance vector; otherwise roll back."""
+    save = r.i
+    # (a) symmetric, no size prefix: 21 f64
+    try:
+        vals = r.f64s(21)
+        if r.d[r.i] == _END and _cov_sane(vals[:6]):
+            return _sym_cov_from_parts(vals[:6], vals[6:])
+    except ValueError:
+        pass
+    r.i = save
+    # (b) u32 size prefix
+    try:
+        if r.u32() == 6:
+            vals = r.f64s(21)
+            if r.d[r.i] == _END and _cov_sane(vals[:6]):
+                return _sym_cov_from_parts(vals[:6], vals[6:])
+    except ValueError:
+        pass
+    r.i = save
+    # (c) full row-major 36 f64
+    try:
+        vals = r.f64s(36)
+        m = vals.reshape(6, 6)
+        if (
+            r.d[r.i] == _END
+            and _cov_sane(np.diag(m))
+            and np.allclose(m, m.T, rtol=0, atol=1e-9)
+        ):
+            return m
+    except ValueError:
+        pass
+    raise ValueError(
+        ".mm: unrecognized CPose3DPDFGaussian covariance layout at offset "
+        f"{save}"
+    )
+
+
 def _parse_georeferencing(r: _Reader):
+    """metricmap.cpp:827-850 operator>>: magic string, u8 version, bool
+    present, then lat/lon/height f64 + T_enu_to_map CPose3DPDFGaussian."""
+    from mp2p_icp_tpu.core.metric_map import Georeferencing
+
     magic = r.string()
     if magic != "mp2p_icp::Georeferencing":
         raise ValueError(f".mm: bad georef magic '{magic}'")
@@ -162,18 +388,42 @@ def _parse_georeferencing(r: _Reader):
     if not r.boolean():
         return None
     lat, lon, height = r.f64s(1)[0], r.f64s(1)[0], r.f64s(1)[0]
-    # T_enu_to_map: CPose3DPDFGaussian object — not needed for point-layer
-    # parity loads; skip structurally is unsafe, so refuse loudly.
-    raise ValueError(
-        ".mm: georeferenced maps with T_enu_to_map are not supported by "
-        "the read-only parser yet (lat/lon/h parsed: "
-        f"{lat:.6f}/{lon:.6f}/{height:.1f})"
+    cls, _pver = r.object_header()
+    if cls != "mrpt::poses::CPose3DPDFGaussian":
+        raise ValueError(
+            f".mm: T_enu_to_map is '{cls}', expected CPose3DPDFGaussian"
+        )
+    mcls, mver = r.object_header()
+    if mcls != "mrpt::poses::CPose3D":
+        raise ValueError(f".mm: pose mean is '{mcls}', expected CPose3D")
+    if mver != 2:
+        raise ValueError(
+            f".mm: CPose3D serialization v{mver} unsupported (v2 = "
+            "x y z qr qx qy qz as f64)"
+        )
+    vals = r.f64s(7)
+    r.expect_end("CPose3D")
+    x, y, z, qr, qx, qy, qz = vals
+    qn = qr * qr + qx * qx + qy * qy + qz * qz
+    if abs(qn - 1.0) > 1e-6:
+        raise ValueError(
+            f".mm: CPose3D quaternion norm {qn:.6f} != 1 — layout mismatch"
+        )
+    cov = _parse_cov66(r)
+    r.expect_end("CPose3DPDFGaussian")
+    return Georeferencing(
+        latitude=float(lat),
+        longitude=float(lon),
+        height=float(height),
+        t_enu_to_map_xyz=(float(x), float(y), float(z)),
+        t_enu_to_map_quat_wxyz=(float(qr), float(qx), float(qy), float(qz)),
+        t_enu_to_map_cov=tuple(tuple(float(v) for v in row) for row in cov),
     )
 
 
 def load_mrpt_mm(path: str):
     """Load a reference binary ``.mm`` file -> MetricMap with PointCloud
-    layers (+ .id/.label when present)."""
+    layers (+ .id/.label/.georeferencing when present)."""
     from mp2p_icp_tpu.core.metric_map import MetricMap
     from mp2p_icp_tpu.core.pointcloud import PointCloud
 
@@ -199,18 +449,42 @@ def load_mrpt_mm(path: str):
 
     mm = MetricMap()
     n_layers = r.u32()
-    for _ in range(n_layers):
+
+    def make_continuation_ok(layers_remaining: int):
+        """True iff parsing may resume at `pos`: the next layer's name
+        string + object header, or the post-layers optional framing
+        (v>=1), or the archive end (v0)."""
+
+        def ok(pos: int) -> bool:
+            rr = _Reader(r.d)
+            rr.i = pos
+            try:
+                if layers_remaining > 0:
+                    lname = rr.string()
+                    if not (0 < len(lname) <= 128):
+                        return False
+                    return bool(rr.u8() & 0x80)
+                if version >= 1:
+                    return rr.string() == "std::optional"
+                return rr.u8() == _END
+            except ValueError:
+                return False
+
+        return ok
+
+    for li in range(n_layers):
         lname = r.string()
         cls, cver = r.object_header()
         short = cls.split("::")[-1]
-        if short == "CSimplePointsMap":
-            xyz = _parse_simple_points_map(r, cver)
-            mm.layers[lname] = PointCloud.from_numpy(xyz)
-        else:
+        parser = _POINT_LAYER_PARSERS.get(short)
+        if parser is None:
             raise ValueError(
                 f".mm: layer '{lname}' has unsupported class '{cls}' — the "
-                "read-only parser handles CSimplePointsMap point layers"
+                "parser handles CSimplePointsMap / CPointsMapXYZI / "
+                "CPointsMapXYZIRT point layers"
             )
+        xyz, channels = parser(r, cver, make_continuation_ok(n_layers - li - 1))
+        mm.layers[lname] = PointCloud.from_numpy(xyz, **channels)
 
     mm.id = None
     mm.label = None
@@ -225,7 +499,7 @@ def load_mrpt_mm(path: str):
         if r.boolean():
             raise ValueError(".mm: inline georef (v2/3) unsupported")
     if version >= 4:
-        _parse_georeferencing(r)
+        mm.georeferencing = _parse_georeferencing(r)
     if version >= 5:
         if r.boolean():
             r.string()  # metadata YAML text (kept unparsed)
@@ -236,3 +510,169 @@ def load_mrpt_mm(path: str):
     if planes is not None and len(planes):
         mm.planes_raw = planes
     return mm
+
+
+# ------------------------------------------------------------------- writer
+def _write_point_layer(w: _Writer, pc) -> None:
+    """Serialize one PointCloud layer in the reference's own class/byte
+    layout: CSimplePointsMap v10 for plain xyz clouds, CPointsMapXYZI v0
+    when an intensity channel is present, CPointsMapXYZIRT v0 when
+    ring/time channels exist (the classes kitti2mm and LiDAR pipelines
+    produce, kitti2mm/main.cpp:59-68)."""
+    n = int(pc.count)
+    xyz = np.asarray(pc.xyz[:n], dtype=np.float32)
+
+    def ch(name):
+        a = getattr(pc, name)
+        return None if a is None else np.asarray(a[:n], dtype=np.float32)
+
+    inten, ring, time = ch("intensity"), ch("ring"), ch("time")
+    has_rt = ring is not None or time is not None
+
+    def write_generic_params():
+        w.obj_header(_GENERIC_PARAMS_CLS, 0)
+        w.b += b"\x01\x01\x01"
+        w.end()
+
+    if has_rt:
+        w.obj_header("mrpt::maps::CPointsMapXYZIRT", 0)
+        w.u32(n)
+        for c in range(3):
+            w.f32_array(xyz[:, c])
+        for vec, conv in (
+            (inten, w.f32_array),
+            (
+                None if ring is None else ring.astype(np.uint16),
+                w.u16_array,
+            ),
+            (time, w.f32_array),
+        ):
+            if vec is None:
+                w.u32(0)
+            else:
+                w.u32(n)
+                conv(vec)
+        write_generic_params()
+        w.b += _XYZI_V0_OPTS
+        w.end()
+    elif inten is not None:
+        w.obj_header("mrpt::maps::CPointsMapXYZI", 0)
+        w.u32(n)
+        for c in range(3):
+            w.f32_array(xyz[:, c])
+        w.f32_array(inten)
+        write_generic_params()
+        w.b += _XYZI_V0_OPTS
+        w.end()
+    else:
+        w.obj_header("mrpt::maps::CSimplePointsMap", 10)
+        w.u32(n)
+        for c in range(3):
+            w.f32_array(xyz[:, c])
+        write_generic_params()
+        w.b += _SIMPLEPOINTS_V10_OPTS
+        w.end()
+
+
+def _write_georeferencing(w: _Writer, g) -> None:
+    w.string("mp2p_icp::Georeferencing")
+    w.u8(0)
+    w.boolean(g is not None)
+    if g is None:
+        return
+    w.f64(g.latitude)
+    w.f64(g.longitude)
+    w.f64(g.height)
+    w.obj_header("mrpt::poses::CPose3DPDFGaussian", 1)
+    w.obj_header("mrpt::poses::CPose3D", 2)
+    for v in g.t_enu_to_map_xyz:
+        w.f64(v)
+    for v in g.t_enu_to_map_quat_wxyz:
+        w.f64(v)
+    w.end()
+    cov = (
+        np.zeros((6, 6))
+        if g.t_enu_to_map_cov is None
+        else np.asarray(g.t_enu_to_map_cov, dtype=np.float64)
+    )
+    w.f64_array(np.diag(cov))
+    upper = [cov[r_, c] for r_ in range(5) for c in range(r_ + 1, 6)]
+    w.f64_array(np.asarray(upper))
+    w.end()
+
+
+def save_mrpt_mm(mm, path: str, version: Optional[int] = None,
+                 gzipped: bool = True) -> None:
+    """Write a MetricMap as a reference-compatible binary ``.mm`` archive
+    (metricmap.cpp:48-105 serializeTo + :651-661 save_to_file gzip
+    container). ``version``: metric_map_t serialization version to emit —
+    default 1 when the map carries no georeferencing (byte-identical to
+    what the reference demos were written with), else 5. Voxel layers have
+    no reference-compatible encoding here and raise."""
+    from mp2p_icp_tpu.core.pointcloud import PointCloud
+
+    if version is None:
+        version = 1 if mm.georeferencing is None else 5
+    if version not in (1, 5):
+        raise ValueError(f"save_mrpt_mm: unsupported emit version {version}")
+
+    w = _Writer()
+    w.obj_header("mp2p_icp::metric_map_t", version)
+    # legacy duplicate 'lines' vector with typed framing
+    lines = getattr(mm, "lines_raw", None)
+    n_lines = 0 if lines is None else len(lines)
+    w.string("std::vector")
+    w.string("TLine3D")
+    w.u32(n_lines)
+    if n_lines:
+        w.f64_array(np.asarray(lines, dtype=np.float64).reshape(-1))
+    planes = getattr(mm, "planes_raw", None)
+    n_planes = 0 if planes is None else len(planes)
+    w.u32(n_planes)
+    if n_planes:
+        w.f64_array(np.asarray(planes, dtype=np.float64).reshape(-1))
+    w.u32(n_lines)
+    if n_lines:
+        w.f64_array(np.asarray(lines, dtype=np.float64).reshape(-1))
+
+    point_layers = {
+        k: v for k, v in mm.layers.items() if isinstance(v, PointCloud)
+    }
+    if len(point_layers) != len(mm.layers):
+        bad = [k for k in mm.layers if k not in point_layers]
+        raise ValueError(
+            f"save_mrpt_mm: layers {bad} are not point clouds — no "
+            "reference-compatible binary encoding (save as .mm.npz instead)"
+        )
+    w.u32(len(point_layers))
+    for lname, pc in point_layers.items():
+        w.string(lname)
+        _write_point_layer(w, pc)
+
+    # id / label optionals
+    w.string("std::optional")
+    w.string("uint64_t")
+    w.boolean(mm.id is not None)
+    if mm.id is not None:
+        w.u64(int(mm.id))
+    w.string("std::optional")
+    w.string("std::string")
+    w.boolean(mm.label is not None)
+    if mm.label is not None:
+        w.string(mm.label)
+
+    if version >= 4:
+        _write_georeferencing(w, mm.georeferencing)
+    if version >= 5:
+        w.boolean(False)  # no metadata YAML
+    w.end()
+
+    payload = bytes(w.b)
+    if gzipped:
+        with open(path, "wb") as f:
+            # mtime=0 for deterministic output
+            with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                gz.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)

@@ -205,3 +205,65 @@ class TestRecordIterations:
         np.testing.assert_allclose(
             res.iteration_poses.t[-1], res.optimal_tf.t, atol=1e-6
         )
+
+    def test_per_iteration_pairings(self, tmp_path):
+        """record_pairings: a capacity-bounded per-iteration Pairings
+        snapshot for icp-log-viewer playback (reference: LogRecord.h:58-71,
+        ICP.cpp:232-241)."""
+        rng = np.random.RandomState(18)
+        local, globl, gt = make_pair(BUNNY, rng)
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=0.5)],
+            solvers=[SOLVERS["horn"]],
+        )
+        K = 64
+        params = ICPParameters(
+            max_iterations=12,
+            record_iterations=True,
+            record_pairings=True,
+            record_pairings_capacity=K,
+        )
+        res = icp.align(local, globl, se3.identity(), params)
+        ip = res.iteration_pairings
+        assert ip is not None
+        assert ip.pt2pt.local.shape == (12, K, 3)
+        assert ip.pt2pt.weight.shape == (12, K)
+        counts = np.asarray(res.iteration_pair_counts)
+        w = np.asarray(ip.pt2pt.weight)
+        for i in range(12):
+            rec = int((w[i] > 0).sum())
+            # recorded pairs = min(K, total) within stride rounding
+            assert rec <= K
+            assert rec <= int(counts[i])
+            if counts[i] > 0:
+                assert rec >= min(K, int(counts[i])) // 2
+        # recorded pairs are REAL correspondences: at the final pose the
+        # residuals of the last iteration's pairs are small
+        from mp2p_icp_tpu.core import se3 as _se3
+        import jax.numpy as jnp
+
+        sel = w[-1] > 0
+        loc = np.array(
+            _se3.apply(res.optimal_tf, jnp.asarray(ip.pt2pt.local[-1]))
+        )
+        d = np.linalg.norm(
+            loc[sel] - np.asarray(ip.pt2pt.globl[-1])[sel], axis=1
+        )
+        assert d.mean() < 0.1
+
+        # icplog round-trip + viewer render of an iteration frame
+        from mp2p_icp_tpu.apps.icp_log_viewer import main as viewer_main
+        from mp2p_icp_tpu.io.icplog import load_log, save_log
+
+        p = str(tmp_path / "run.icplog.npz")
+        save_log(p, local, globl, se3.identity(), res)
+        log = load_log(p)
+        assert "pairings" in log["iterations"]
+        np.testing.assert_allclose(
+            np.asarray(log["iterations"]["pairings"].pt2pt.weight), w
+        )
+        prefix = str(tmp_path / "view")
+        assert viewer_main([p, "-o", prefix, "-i", "3"]) == 0
+        import os
+
+        assert os.path.exists(prefix + "_iter003.png")
