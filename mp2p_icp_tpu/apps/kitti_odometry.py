@@ -27,7 +27,16 @@ def run_sequence(
     gt_poses=None,
     max_frames=None,
     verbose=True,
+    batch_size: int = 0,
 ):
+    """``batch_size > 0`` switches to the TPU deployment shape: consecutive
+    pairs register as vmapped batches of B through one XLA program
+    (parallel.batch). Pairs within a batch are data-parallel; the
+    constant-velocity model survives at batch granularity — every pair in
+    batch k is seeded with batch k-1's last relative pose (one host fetch
+    per batch, amortised over B pairs). This is the batched-odometry path
+    bench.py measures; the sequential mode mirrors the reference's
+    scripts/kitti-run-seq.py icp-run-per-pair procedure."""
     import jax
     import numpy as np
 
@@ -53,30 +62,82 @@ def run_sequence(
         layers = apply_filter_pipeline(filters, {"raw": pc})
         return layers
 
-    traj = [se3.identity()]
-    rel_prev = se3.identity()
-    prev_layers = prep(scan_paths[0])
     t_align = 0.0
     n_align = 0
 
-    for i, path in enumerate(scan_paths[1:], start=1):
-        cur_layers = prep(path)
-        guess = rel_prev  # constant-velocity model
+    if batch_size > 0:
+        from mp2p_icp_tpu.parallel.batch import (
+            make_batched_align,
+            stack_pytrees,
+        )
+
+        import jax.numpy as jnp
+
+        B = batch_size
+        layers = [prep(p) for p in scan_paths]
+        fb = make_batched_align(icp, params)
+        ident = se3.identity()
+        rels = []
+        n_pairs = len(layers) - 1
         t0 = time.perf_counter()
-        res = icp.align(cur_layers, prev_layers, guess, params)
-        jax.block_until_ready(res.optimal_tf.t)
-        t_align += time.perf_counter() - t0
-        n_align += 1
-        rel = res.optimal_tf
-        traj.append(se3.compose(traj[-1], rel))
-        rel_prev = rel
-        prev_layers = cur_layers
-        if verbose and i % 50 == 0:
+        guess_pose = ident  # batch-granular constant-velocity seed
+        for s in range(0, n_pairs, B):
+            idx = list(range(s, min(s + B, n_pairs)))
+            pad = idx + [idx[-1]] * (B - len(idx))  # static batch shape
+            l_b = stack_pytrees([layers[i + 1] for i in pad])
+            g_b = stack_pytrees([layers[i] for i in pad])
+            u_b = stack_pytrees([guess_pose] * B)
+            rb = fb(l_b, g_b, u_b)
+            rels.append((rb, len(idx)))
+            # host fetch (the only true sync on the axon platform) doubles
+            # as the next batch's constant-velocity seed
+            k_last = len(idx) - 1
+            guess_pose = se3.Pose(
+                jnp.asarray(np.asarray(rb.optimal_tf.R[k_last])),
+                jnp.asarray(np.asarray(rb.optimal_tf.t[k_last])),
+            )
+        t_align = time.perf_counter() - t0
+        n_align = n_pairs
+        traj = [ident]
+        for rb, n_valid in rels:
+            R = np.asarray(rb.optimal_tf.R)
+            t = np.asarray(rb.optimal_tf.t)
+            for k in range(n_valid):
+                import jax.numpy as jnp
+
+                rel = se3.Pose(jnp.asarray(R[k]), jnp.asarray(t[k]))
+                traj.append(se3.compose(traj[-1], rel))
+        if verbose:
             print(
-                f"[kitti-odometry] {i}/{len(scan_paths) - 1} "
-                f"({n_align / max(t_align, 1e-9):.2f} scans/s)",
+                f"[kitti-odometry] batched B={B}: "
+                f"{n_align / max(t_align, 1e-9):.2f} scans/s",
                 flush=True,
             )
+    else:
+        traj = [se3.identity()]
+        rel_prev = se3.identity()
+        prev_layers = prep(scan_paths[0])
+
+        for i, path in enumerate(scan_paths[1:], start=1):
+            cur_layers = prep(path)
+            guess = rel_prev  # constant-velocity model
+            t0 = time.perf_counter()
+            res = icp.align(cur_layers, prev_layers, guess, params)
+            # host fetch = true sync (jax.block_until_ready does not block
+            # through the axon tunnel)
+            _ = float(res.optimal_tf.t[0])
+            t_align += time.perf_counter() - t0
+            n_align += 1
+            rel = res.optimal_tf
+            traj.append(se3.compose(traj[-1], rel))
+            rel_prev = rel
+            prev_layers = cur_layers
+            if verbose and i % 50 == 0:
+                print(
+                    f"[kitti-odometry] {i}/{len(scan_paths) - 1} "
+                    f"({n_align / max(t_align, 1e-9):.2f} scans/s)",
+                    flush=True,
+                )
 
     est = poses_from_se3(traj)
     out = {
@@ -98,6 +159,9 @@ def main(argv=None):
     ap.add_argument("--gt-poses", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--out-poses", default=None)
+    ap.add_argument("-B", "--batch-size", type=int, default=0,
+                    help="register consecutive pairs in vmapped batches of "
+                         "B (identity guesses) instead of sequentially")
     args = ap.parse_args(argv)
 
     from mp2p_icp_tpu.eval.trajectory import load_kitti_poses, save_kitti_poses
@@ -107,7 +171,8 @@ def main(argv=None):
         raise SystemExit(f"error: no .bin scans in {args.bin_dir}")
     gt = load_kitti_poses(args.gt_poses) if args.gt_poses else None
     out = run_sequence(
-        paths, args.config, gt_poses=gt, max_frames=args.max_frames
+        paths, args.config, gt_poses=gt, max_frames=args.max_frames,
+        batch_size=args.batch_size,
     )
     print(
         f"frames={out['n_frames']} scans/s={out['scans_per_s']:.2f}"

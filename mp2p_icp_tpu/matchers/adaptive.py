@@ -56,7 +56,7 @@ class MatcherAdaptive(Matcher):
     plane_minimum_found_points: int = 4
     plane_minimum_distance: float = 0.10
     plane_eigen_threshold: float = 0.01
-    max_pt2pt_correspondences: int = 3
+    max_pt2pt_correspondences: int = 1  # reference: Matcher_Adaptive.h:70
     allow_match_already_matched_points: bool = False
     layer_matches: Tuple[LayerMatch, ...] = (LayerMatch(),)
     k_per_cell: int = 16

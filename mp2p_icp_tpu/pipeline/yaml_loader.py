@@ -179,7 +179,7 @@ def _build_matcher_adaptive(p: dict):
         plane_minimum_distance=float(_num(p.get("planeMinimumDistance", 0.10))),
         plane_eigen_threshold=float(_num(p.get("planeEigenThreshold", 0.01))),
         max_pt2pt_correspondences=int(
-            _num(p.get("maxPt2PtCorrespondences", 3))
+            _num(p.get("maxPt2PtCorrespondences", 1))  # Matcher_Adaptive.h:70
         ),
         layer_matches=_layer_matches(p),
         **_gating(p),
