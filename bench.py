@@ -248,14 +248,16 @@ def main():
     stage_ms = {}
     try:
         if os.environ.get("MP2P_BENCH_PROFILE", "1") == "1":
-            from mp2p_icp_tpu.matchers.base import MatchContext
             from mp2p_icp_tpu.ops.nn_bruteforce import knn_bruteforce
 
-            dt_m, ad_m = icp.matchers
             g_pc, l_pc = g_layers["raw"], l_layers["raw"]
             n_chain, reps = 20, 5
 
             def timed_chain(name, fn, *args):
+                # device arrays ride as ARGUMENTS, never jit-closure
+                # constants — closure constants are re-staged per call
+                # through the tunnel (~3 ms per 100 KB; CLAUDE.md) and
+                # would inflate every per-stage number reported here.
                 jfn = jax.jit(fn)
                 _ = float(jfn(*args))  # compile + true sync
                 t0 = time.perf_counter()
@@ -266,27 +268,27 @@ def main():
                     (time.perf_counter() - t0) / (n_chain * reps) * 1e3, 4
                 )
 
-            def nn_chain(q):
+            def nn_chain(q, lvalid, gxyz, gvalid):
                 s = jnp.float32(0.0)
                 for _ in range(n_chain):
                     r = knn_bruteforce(
-                        q + s * 0.0, l_pc.valid_mask(), g_pc.xyz,
-                        g_pc.valid_mask(), k=1, max_radius_sq=4.0,
+                        q + s * 0.0, lvalid, gxyz, gvalid,
+                        k=1, max_radius_sq=4.0,
                     )
                     s = r.dist_sq[0, 0]
                 return s
 
             def iter_chain(m_active, s_active):
-                def fn(t):
+                def fn(t, g_l, l_l, gss):
                     acc = jnp.float32(0.0)
                     for _ in range(n_chain):
                         pose = se3.Pose(jnp.eye(3), t + acc * 0.0)
                         prs = icp._run_matchers(
-                            tuple(icp.matchers), m_active, {}, g_layers,
-                            l_layers, pose, jnp.asarray(0, jnp.int32)
+                            tuple(icp.matchers), m_active, {}, g_l,
+                            l_l, pose, jnp.asarray(0, jnp.int32)
                         )
                         new = icp._run_solvers(
-                            prs, pose, jnp.asarray(0, jnp.int32), guess,
+                            prs, pose, jnp.asarray(0, jnp.int32), gss,
                             None, s_active,
                         )
                         acc = new.t[0]
@@ -294,14 +296,17 @@ def main():
 
                 return fn
 
-            timed_chain("nn_k1_ms", nn_chain, l_pc.xyz)
+            timed_chain(
+                "nn_k1_ms", nn_chain, l_pc.xyz, l_pc.valid_mask(),
+                g_pc.xyz, g_pc.valid_mask(),
+            )
             timed_chain(
                 "dt_iter_ms", iter_chain((True, False), (True, False)),
-                jnp.zeros(3),
+                jnp.zeros(3), g_layers, l_layers, guess,
             )
             timed_chain(
                 "ad_iter_ms", iter_chain((False, True), (False, True)),
-                jnp.zeros(3),
+                jnp.zeros(3), g_layers, l_layers, guess,
             )
             # single-dispatch latency (enqueue 1 + fetch): the tunnel tax
             tiny = jax.jit(lambda x: x + 1.0)

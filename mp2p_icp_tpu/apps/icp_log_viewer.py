@@ -20,10 +20,14 @@ def main(argv=None):
                     help="write <prefix>_overlay.png")
     ap.add_argument("-i", "--iteration", type=int, default=None,
                     help="render the recorded pairings of iteration N "
-                         "(requires a log written with record_pairings; "
-                         "reference GUI equivalent: the iteration slider + "
-                         "pairing lines, icp-log-viewer/main.cpp)")
+                         "(requires -o for the output path and a log "
+                         "written with record_pairings; reference GUI "
+                         "equivalent: the iteration slider + pairing "
+                         "lines, icp-log-viewer/main.cpp)")
     args = ap.parse_args(argv)
+    if args.iteration is not None and not args.output_prefix:
+        ap.error("-i/--iteration renders a PNG frame and needs "
+                 "-o/--output-prefix")
 
     import numpy as np
 

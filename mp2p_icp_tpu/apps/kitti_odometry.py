@@ -74,37 +74,51 @@ def run_sequence(
         import jax.numpy as jnp
 
         B = batch_size
-        layers = [prep(p) for p in scan_paths]
         fb = make_batched_align(icp, params)
         ident = se3.identity()
-        rels = []
-        n_pairs = len(layers) - 1
+        rel_Rs, rel_ts = [], []
+        n_pairs = len(scan_paths) - 1
+        # sliding prep window: frame i is the local of pair i-1 and the
+        # global of pair i, so only [s, s+B] frames need be device-resident
+        # at once — a KITTI-length sequence must NOT hold all ~4.5k prepped
+        # scans (plus every batch's full ICPResults) in HBM.
+        window = {}
+
+        def frame(i):
+            if i not in window:
+                window[i] = prep(scan_paths[i])
+            return window[i]
+
         t0 = time.perf_counter()
         guess_pose = ident  # batch-granular constant-velocity seed
         for s in range(0, n_pairs, B):
             idx = list(range(s, min(s + B, n_pairs)))
             pad = idx + [idx[-1]] * (B - len(idx))  # static batch shape
-            l_b = stack_pytrees([layers[i + 1] for i in pad])
-            g_b = stack_pytrees([layers[i] for i in pad])
+            l_b = stack_pytrees([frame(i + 1) for i in pad])
+            g_b = stack_pytrees([frame(i) for i in pad])
             u_b = stack_pytrees([guess_pose] * B)
             rb = fb(l_b, g_b, u_b)
-            rels.append((rb, len(idx)))
-            # host fetch (the only true sync on the axon platform) doubles
-            # as the next batch's constant-velocity seed
+            # ONE host fetch per batch (the only true sync on the axon
+            # platform): keep just the B relative poses on host and drop
+            # the ICPResults (its final_pairings block is tens of MB);
+            # the last pose doubles as the next batch's velocity seed
+            R_np = np.asarray(rb.optimal_tf.R)
+            t_np = np.asarray(rb.optimal_tf.t)
+            del rb
+            rel_Rs.append(R_np[: len(idx)])
+            rel_ts.append(t_np[: len(idx)])
             k_last = len(idx) - 1
             guess_pose = se3.Pose(
-                jnp.asarray(np.asarray(rb.optimal_tf.R[k_last])),
-                jnp.asarray(np.asarray(rb.optimal_tf.t[k_last])),
+                jnp.asarray(R_np[k_last]), jnp.asarray(t_np[k_last])
             )
+            for i in list(window):  # evict frames behind the window
+                if i <= s + B - 1:
+                    del window[i]
         t_align = time.perf_counter() - t0
         n_align = n_pairs
         traj = [ident]
-        for rb, n_valid in rels:
-            R = np.asarray(rb.optimal_tf.R)
-            t = np.asarray(rb.optimal_tf.t)
-            for k in range(n_valid):
-                import jax.numpy as jnp
-
+        for R, t in zip(rel_Rs, rel_ts):
+            for k in range(R.shape[0]):
                 rel = se3.Pose(jnp.asarray(R[k]), jnp.asarray(t[k]))
                 traj.append(se3.compose(traj[-1], rel))
         if verbose:
@@ -161,7 +175,9 @@ def main(argv=None):
     ap.add_argument("--out-poses", default=None)
     ap.add_argument("-B", "--batch-size", type=int, default=0,
                     help="register consecutive pairs in vmapped batches of "
-                         "B (identity guesses) instead of sequentially")
+                         "B instead of sequentially; every pair in a batch "
+                         "is seeded with the previous batch's last relative "
+                         "pose (batch-granular constant velocity)")
     args = ap.parse_args(argv)
 
     from mp2p_icp_tpu.eval.trajectory import load_kitti_poses, save_kitti_poses

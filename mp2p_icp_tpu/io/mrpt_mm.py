@@ -339,10 +339,16 @@ def _parse_cov66(r: _Reader) -> np.ndarray:
     only trusted if the object end marker lands exactly after it AND the
     diagonal is a plausible variance vector; otherwise roll back."""
     save = r.i
+
+    def at_end_marker() -> bool:
+        # bounds-checked peek: a truncated buffer must fall through to the
+        # next layout candidate / the descriptive error, not IndexError
+        return r.i < len(r.d) and r.d[r.i] == _END
+
     # (a) symmetric, no size prefix: 21 f64
     try:
         vals = r.f64s(21)
-        if r.d[r.i] == _END and _cov_sane(vals[:6]):
+        if at_end_marker() and _cov_sane(vals[:6]):
             return _sym_cov_from_parts(vals[:6], vals[6:])
     except ValueError:
         pass
@@ -351,7 +357,7 @@ def _parse_cov66(r: _Reader) -> np.ndarray:
     try:
         if r.u32() == 6:
             vals = r.f64s(21)
-            if r.d[r.i] == _END and _cov_sane(vals[:6]):
+            if at_end_marker() and _cov_sane(vals[:6]):
                 return _sym_cov_from_parts(vals[:6], vals[6:])
     except ValueError:
         pass
@@ -361,7 +367,7 @@ def _parse_cov66(r: _Reader) -> np.ndarray:
         vals = r.f64s(36)
         m = vals.reshape(6, 6)
         if (
-            r.d[r.i] == _END
+            at_end_marker()
             and _cov_sane(np.diag(m))
             and np.allclose(m, m.T, rtol=0, atol=1e-9)
         ):
@@ -615,6 +621,13 @@ def save_mrpt_mm(mm, path: str, version: Optional[int] = None,
         version = 1 if mm.georeferencing is None else 5
     if version not in (1, 5):
         raise ValueError(f"save_mrpt_mm: unsupported emit version {version}")
+    if mm.georeferencing is not None and version < 4:
+        raise ValueError(
+            "save_mrpt_mm: map carries georeferencing but the v"
+            f"{version} layout predates the georef block (v4+) — emitting "
+            "it would silently drop lat/lon/height and T_enu_to_map; pass "
+            "version=5 (or version=None)"
+        )
 
     w = _Writer()
     w.obj_header("mp2p_icp::metric_map_t", version)

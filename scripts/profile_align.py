@@ -88,7 +88,11 @@ def main():
     def timed(name, fn, *args, n=n_chain, reps=10):
         """jit(fn chained n times); enqueue `reps` dispatches back-to-back
         and fetch ONE scalar from the last — amortises both the ~1 ms
-        dispatch tax and the ~20 ms fetch round trip over reps*n units."""
+        dispatch tax and the ~20 ms fetch round trip over reps*n units.
+        Device arrays must arrive via *args, never as jit-closure
+        constants: closure constants are re-staged per call through the
+        tunnel (~3 ms per 100 KB, CLAUDE.md) and would inflate every
+        per-stage number this script exists to measure."""
         jfn = jax.jit(fn)
         out = jfn(*args)
         _ = float(out)  # warmup + compile + true sync
@@ -109,11 +113,11 @@ def main():
 
     # --- raw NN sweeps: chain by adding 0*prev to the queries
     def chain_nn(k):
-        def fn(q):
+        def fn(q, lv, gx, gv):
             s = jnp.float32(0.0)
             for _ in range(n_chain):
                 r = knn_bruteforce(
-                    q + s * 0.0, lvalid, gxyz, gvalid, k=k,
+                    q + s * 0.0, lv, gx, gv, k=k,
                     max_radius_sq=4.0,
                 )
                 s = r.dist_sq[0, 0]
@@ -121,17 +125,17 @@ def main():
 
         return fn
 
-    timed("nn_k1", chain_nn(1), lxyz)
-    timed("nn_k3", chain_nn(3), lxyz)
+    timed("nn_k1", chain_nn(1), lxyz, lvalid, gxyz, gvalid)
+    timed("nn_k3", chain_nn(3), lxyz, lvalid, gxyz, gvalid)
 
     # --- full matcher .match() calls
     def chain_match(m):
-        def fn(t):
+        def fn(t, g_l, l_l):
             s = jnp.float32(0.0)
             for _ in range(n_chain):
                 pose = se3.Pose(jnp.eye(3), t + s * 0.0)
                 blocks, _, _ = m.match(
-                    {}, g_layers, l_layers, pose, None,
+                    {}, g_l, l_l, pose, None,
                     MatchContext(icp_iteration=jnp.asarray(0, jnp.int32)),
                 )
                 s = blocks["pt2pt"].weight[0]
@@ -139,47 +143,43 @@ def main():
 
         return fn
 
-    timed("dt_match", chain_match(dt_matcher), jnp.zeros(3))
-    timed("ad_match", chain_match(ad_matcher), jnp.zeros(3))
+    timed("dt_match", chain_match(dt_matcher), jnp.zeros(3),
+          g_layers, l_layers)
+    timed("ad_match", chain_match(ad_matcher), jnp.zeros(3),
+          g_layers, l_layers)
 
     # --- solvers on a fixed pairings struct
-    ctx = MatchContext(icp_iteration=jnp.asarray(0, jnp.int32))
-    blocks_dt, _, pot = dt_matcher.match(
-        {}, g_layers, l_layers, guess, None, ctx
-    )
-    from mp2p_icp_tpu.icp import ICP as _ICP
-
     pairings = icp._run_matchers(
         (dt_matcher, ad_matcher), (True, True), {}, g_layers, l_layers,
         guess, jnp.asarray(0, jnp.int32)
     )
 
     def chain_solve(s):
-        def fn(t):
+        def fn(t, prs):
             acc = jnp.float32(0.0)
             for _ in range(n_chain):
                 pose = se3.Pose(jnp.eye(3), t + acc * 0.0)
-                new = s.solve(pairings, pose, None)
+                new = s.solve(prs, pose, None)
                 acc = new.t[0]
             return acc
 
         return fn
 
-    timed("horn_solve", chain_solve(horn), jnp.zeros(3))
-    timed("gn_solve", chain_solve(gn), jnp.zeros(3))
+    timed("horn_solve", chain_solve(horn), jnp.zeros(3), pairings)
+    timed("gn_solve", chain_solve(gn), jnp.zeros(3), pairings)
 
     # --- one full loop-body iteration per segment type
     def chain_iter(m_active, s_active):
-        def fn(t):
+        def fn(t, g_l, l_l, gss):
             acc = jnp.float32(0.0)
             for _ in range(n_chain):
                 pose = se3.Pose(jnp.eye(3), t + acc * 0.0)
                 prs = icp._run_matchers(
-                    (dt_matcher, ad_matcher), m_active, {}, g_layers,
-                    l_layers, pose, jnp.asarray(0, jnp.int32)
+                    (dt_matcher, ad_matcher), m_active, {}, g_l,
+                    l_l, pose, jnp.asarray(0, jnp.int32)
                 )
                 new = icp._run_solvers(
-                    prs, pose, jnp.asarray(0, jnp.int32), guess, None,
+                    prs, pose, jnp.asarray(0, jnp.int32), gss, None,
                     s_active,
                 )
                 acc = new.t[0]
@@ -187,8 +187,10 @@ def main():
 
         return fn
 
-    timed("dt_iter", chain_iter((True, False), (True, False)), jnp.zeros(3))
-    timed("ad_iter", chain_iter((False, True), (False, True)), jnp.zeros(3))
+    timed("dt_iter", chain_iter((True, False), (True, False)),
+          jnp.zeros(3), g_layers, l_layers, guess)
+    timed("ad_iter", chain_iter((False, True), (False, True)),
+          jnp.zeros(3), g_layers, l_layers, guess)
 
     # --- full align, honest sync (N sequential dispatches, fetch last)
     res = icp.align(l_layers, g_layers, guess, params)

@@ -200,6 +200,33 @@ class TestMrptMmWriter:
             np.asarray(mm3.georeferencing.t_enu_to_map_cov), cov, rtol=1e-12
         )
 
+    def test_georef_refuses_pre_georef_version(self, tmp_path):
+        """save_mrpt_mm(version=1) on a georeferenced map must raise, not
+        silently drop lat/lon/height + T_enu_to_map (the v1 layout
+        predates the georef block, metricmap.cpp:85-105)."""
+        from mp2p_icp_tpu.core.metric_map import Georeferencing, MetricMap
+        from mp2p_icp_tpu.core.pointcloud import PointCloud
+        from mp2p_icp_tpu.io.mrpt_mm import save_mrpt_mm
+
+        mm = MetricMap()
+        mm.layers["pts"] = PointCloud.from_numpy(
+            np.random.RandomState(0).randn(16, 3).astype(np.float32)
+        )
+        mm.georeferencing = Georeferencing(
+            latitude=1.0, longitude=2.0, height=3.0
+        )
+        with pytest.raises(ValueError, match="georef"):
+            save_mrpt_mm(mm, str(tmp_path / "x.mm"), version=1)
+
+    def test_truncated_cov_gives_descriptive_error(self):
+        """A buffer ending exactly after a 21-f64 covariance candidate must
+        fall through to the descriptive layout error, not IndexError."""
+        from mp2p_icp_tpu.io.mrpt_mm import _Reader, _parse_cov66
+
+        buf = np.arange(21, dtype=np.float64).tobytes()  # no end marker
+        with pytest.raises(ValueError, match="covariance layout"):
+            _parse_cov66(_Reader(buf))
+
     def test_empty_and_multi_layer(self, tmp_path):
         """Mixed layers, no id/label, v5 framing with empty georef."""
         from mp2p_icp_tpu.core.metric_map import MetricMap
