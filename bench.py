@@ -279,17 +279,19 @@ def main():
                 return s
 
             def iter_chain(m_active, s_active):
-                def fn(t, g_l, l_l, gss):
+                def fn(t, g_l, l_l):
                     acc = jnp.float32(0.0)
+                    fin = jnp.zeros((len(icp.solvers),), bool)
                     for _ in range(n_chain):
                         pose = se3.Pose(jnp.eye(3), t + acc * 0.0)
                         prs = icp._run_matchers(
                             tuple(icp.matchers), m_active, {}, g_l,
                             l_l, pose, jnp.asarray(0, jnp.int32)
                         )
-                        new = icp._run_solvers(
-                            prs, pose, jnp.asarray(0, jnp.int32), gss,
-                            None, s_active,
+                        new, fin = icp._run_solvers(
+                            prs, pose, jnp.asarray(0, jnp.int32),
+                            jnp.float32(1.0), jnp.asarray(False), None,
+                            s_active, fin,
                         )
                         acc = new.t[0]
                     return acc
@@ -302,11 +304,11 @@ def main():
             )
             timed_chain(
                 "dt_iter_ms", iter_chain((True, False), (True, False)),
-                jnp.zeros(3), g_layers, l_layers, guess,
+                jnp.zeros(3), g_layers, l_layers,
             )
             timed_chain(
                 "ad_iter_ms", iter_chain((False, True), (False, True)),
-                jnp.zeros(3), g_layers, l_layers, guess,
+                jnp.zeros(3), g_layers, l_layers,
             )
             # single-dispatch latency (enqueue 1 + fetch): the tunnel tax
             tiny = jax.jit(lambda x: x + 1.0)

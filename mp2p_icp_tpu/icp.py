@@ -50,7 +50,6 @@ from mp2p_icp_tpu.matchers.base import (
     point_layers,
     transformed_local,
 )
-from mp2p_icp_tpu.ops.voxel_hash import build_hash_grid
 from mp2p_icp_tpu.quality.paired_ratio import QualityPairedRatio
 from mp2p_icp_tpu.solvers.gauss_newton import SE3Prior
 
@@ -128,10 +127,12 @@ class ICPResults(NamedTuple):
 class _LoopCarry(NamedTuple):
     pose: Pose
     prev_pose: Pose
-    prev2_pose: Pose
     iteration: jax.Array
     reason: jax.Array
     pairings: Pairings
+    # persistent runUntilTranslationCorrectionSmallerThan latches,
+    # [n_solvers] bool (Solver.cpp:44-60 perSolverPersistentData)
+    solver_finished: jax.Array
 
 
 @dataclasses.dataclass
@@ -151,87 +152,6 @@ class ICP:
         if not self.quality_weights:
             self.quality_weights = [1.0] * len(self.quality_evaluators)
         self._jit_cache = {}
-
-    # ----------------------------------------------------------------- grids
-    def _grid_cell_sizes(self) -> Dict[str, float]:
-        """Cell size per global layer = max matcher search radius touching
-        that layer (27-cell completeness envelope)."""
-        sizes: Dict[str, float] = {}
-        for m in self.matchers:
-            r = m.search_radius()
-            for lm in m.layer_matches:
-                sizes[lm.global_layer] = max(sizes.get(lm.global_layer, 0.0), r)
-        return sizes
-
-    def build_grids(self, global_layers: Dict[str, PointCloud]):
-        return {
-            name: build_hash_grid(
-                global_layers[name].xyz,
-                global_layers[name].valid_mask(),
-                cell_size=size,
-            )
-            for name, size in self._grid_cell_sizes().items()
-        }
-
-    def _bucket_occupancy_host(self, g_layers) -> Dict[str, int]:
-        """Max hash-bucket occupancy per global layer, computed host-side in
-        numpy (one small D2H transfer; avoids a device sync on the jit path)."""
-        import numpy as np
-
-        from mp2p_icp_tpu.ops import voxel_hash as vh
-
-        occ = {}
-        for name, size in self._grid_cell_sizes().items():
-            layer = g_layers[name]
-            xyz = np.asarray(layer.xyz)
-            n = int(layer.count)
-            if n == 0:
-                occ[name] = 8
-                continue
-            cells = np.floor(xyz[:n] / size).astype(np.int64)
-            H = vh._table_size_for(layer.capacity)
-            h = (
-                (cells[:, 0] * vh._HX) ^ (cells[:, 1] * vh._HY)
-                ^ (cells[:, 2] * vh._HZ)
-            ) & (H - 1)
-            occ[name] = int(np.bincount(h, minlength=1).max())
-        return occ
-
-    def _effective_matchers(self, grids):
-        """Auto-raise each matcher's k_per_cell to the observed max bucket
-        occupancy (device-array grids variant, used by parallel.batch)."""
-        occ = {
-            name: int(jnp.max(g.bucket_count)) for name, g in grids.items()
-        }
-        return self._adjust_matchers(occ)
-
-    def _effective_matchers_host(self, g_layers):
-        """Auto-raise each matcher's k_per_cell to the observed max bucket
-        occupancy (rounded to a power of two, capped) so dense buckets are
-        never truncated — e.g. a search radius much larger than the cloud
-        (the bunny test: threshold 0.5 m vs a 0.15 m object) would otherwise
-        starve the one-to-one matching. Host-side numpy; becomes part of the
-        jit cache key (stable across frames after pow2 rounding)."""
-        return self._adjust_matchers(self._bucket_occupancy_host(g_layers))
-
-    def _adjust_matchers(self, occ: Dict[str, int]):
-        def pow2(n):
-            p = 8
-            while p < n:
-                p *= 2
-            return p
-
-        adjusted = []
-        for m in self.matchers:
-            need = max(
-                (occ.get(lm.global_layer, 8) for lm in m.layer_matches),
-                default=8,
-            )
-            k = min(pow2(need), 2048)
-            if k > m.k_per_cell:
-                m = dataclasses.replace(m, k_per_cell=k)
-            adjusted.append(m)
-        return tuple(adjusted)
 
     # ------------------------------------------------------------- schedule
     @staticmethod
@@ -277,7 +197,7 @@ class ICP:
 
     # ------------------------------------------------------------- matchers
     def _run_matchers(self, matchers, active, grids, global_layers,
-                      local_layers, pose, iteration):
+                      local_layers, pose, iteration, gidx_maps=None):
         """Run the segment's active matchers, concatenating their
         fixed-capacity blocks into one Pairings (reference: run_matchers,
         Matcher.cpp:35-87). Inactive matchers contribute all-zero blocks —
@@ -301,7 +221,9 @@ class ICP:
             MatchState.create(local_layers, global_layers, g_scale)
             if sum(active) > 1 else None
         )
-        ctx = MatchContext(icp_iteration=iteration)
+        ctx = MatchContext(
+            icp_iteration=iteration, global_index_maps=gidx_maps or None
+        )
         acc: Dict[str, list] = {k: [] for k in ("pt2pt", "pt2ln", "pt2pl", "ln2ln", "pl2pl")}
         potential = jnp.asarray(0, jnp.int32)
         for m, on in zip(matchers, active):
@@ -342,34 +264,54 @@ class ICP:
         )
 
     # -------------------------------------------------------------- solvers
-    def _run_solvers(self, pairings, pose, iteration, guess, prior, active):
+    def _run_solvers(self, pairings, pose, iteration, step_trans, has_step,
+                     prior, active, finished):
         """First enabled solver wins (reference: ICP::run_solvers,
         ICP.cpp:469-479). Iteration windows are resolved statically by the
         schedule segmentation (``active``); only the dynamic
-        runUntilTranslationCorrectionSmallerThan gate (Solver.h:91-97)
-        still needs a runtime cond chain."""
-        solvers = [s for s, on in zip(self.solvers, active) if on]
-        if not solvers:
-            return pose
+        runUntilTranslationCorrectionSmallerThan gate still needs a runtime
+        cond chain. That gate follows Solver.cpp:44-60 exactly: the solver
+        runs until the LAST ICP STEP INCREMENT's translation norm
+        (``step_trans``; sc.lastIcpStepIncrement, unset on the first
+        iteration -> ``has_step``) drops below the threshold, at which point
+        a persistent per-solver 'finished' latch (``finished`` [n_solvers]
+        bool, part of the loop carry) disables it for every remaining
+        iteration — handing off to the next solver in the list.
+
+        Returns (new_pose, new_finished)."""
+        act = [s for s, on in zip(self.solvers, active) if on]
+        if not act:
+            return pose, finished
         dynamic = any(
-            s.run_until_translation_correction_smaller_than > 0
-            for s in solvers
+            s.run_until_translation_correction_smaller_than > 0 for s in act
         )
         if not dynamic:
             # first statically-active solver wins outright
-            return solvers[0].solve(pairings, pose, prior)
-        corr = jnp.linalg.norm(pose.t - guess.t)
+            return act[0].solve(pairings, pose, prior), finished
         result = pose
         taken = jnp.asarray(False)
-        for s in solvers:
-            g = s.gate(iteration, corr) & ~taken
+        new_finished = finished
+        for i, (s, on) in enumerate(zip(self.solvers, active)):
+            if not on:
+                continue
+            thr = s.run_until_translation_correction_smaller_than
+            if thr > 0:
+                # latch only when this solver is actually consulted
+                # (earlier solvers did not win), like the reference's
+                # per-solver persistent data
+                trig = (~taken) & has_step & (step_trans < thr)
+                fin_i = finished[i] | trig
+                new_finished = new_finished.at[i].set(fin_i)
+                g = (~taken) & ~fin_i
+            else:
+                g = ~taken
             result = jax.lax.cond(
                 g,
                 lambda p=pairings, s=s, pose=pose, prior=prior: s.solve(p, pose, prior),
                 lambda r=result: r,
             )
-            taken = taken | s.gate(iteration, corr)
-        return result
+            taken = taken | g
+        return result, new_finished
 
     # ---------------------------------------------------------------- align
     def align(
@@ -389,9 +331,15 @@ class ICP:
         if not g_layers or not l_layers:
             raise ValueError("empty input maps")
         matchers = tuple(self.matchers)
+        # solvers/quality are part of the key: ICP is a mutable dataclass,
+        # so swapping a module after a first align must not silently reuse
+        # the stale compiled program
         key = (
             params,
             matchers,
+            tuple(self.solvers),
+            tuple(self.quality_evaluators),
+            tuple(self.quality_weights),
             prior is not None,
             tuple(sorted((k, v.capacity) for k, v in g_layers.items())),
             tuple(sorted((k, v.capacity) for k, v in l_layers.items())),
@@ -410,18 +358,23 @@ class ICP:
         a huge accumulated map (metricmap.cpp:784-802; kd-tree leaf tuning
         Matcher_Points_Base.cpp:104-114): one argsort-compaction at the
         guess pose replaces the tree, and the per-iteration NN then sweeps
-        only the local neighbourhood."""
+        only the local neighbourhood.
+
+        Returns (cropped_layers, index_maps): index_maps[name] is the
+        [crop_capacity] i32 table mapping cropped row -> ORIGINAL map index
+        (-1 padding) for every layer that was compacted, so recorded
+        pairings can be translated back to user-map indices."""
         gnames = {lm.global_layer for m in matchers for lm in m.layer_matches}
         lnames = {lm.local_layer for m in matchers for lm in m.layer_matches}
         if params.crop_to_local_bbox is False:
-            return g_layers
+            return g_layers, {}
         M = params.crop_capacity
         todo = [
             n for n in sorted(gnames)
             if n in g_layers and g_layers[n].capacity > M
         ]
         if not todo:
-            return g_layers
+            return g_layers, {}
         margin = params.crop_extra_margin + max(
             (m.search_radius() for m in matchers), default=0.0
         )
@@ -437,6 +390,7 @@ class ICP:
         hi = jnp.max(jnp.stack(his), axis=0) + margin
 
         out = dict(g_layers)
+        index_maps = {}
         for name in todo:
             g = g_layers[name]
             inside = g.valid_mask() & jnp.all(
@@ -471,7 +425,10 @@ class ICP:
                 ring=take_ch(g.ring),
                 time=take_ch(g.time),
             )
-        return out
+            index_maps[name] = jnp.where(
+                keep, order.astype(jnp.int32), -1
+            )
+        return out, index_maps
 
     def _align_full(self, params, matchers, g_layers, l_layers, guess, prior):
         """Single fused program: the whole ICP loop + quality + covariance.
@@ -480,12 +437,14 @@ class ICP:
         exact MXU brute-force NN, so no spatial index is built at all;
         large global maps are first cropped to the guess neighbourhood
         (see _crop_globals)."""
-        g_layers = self._crop_globals(params, matchers, g_layers, l_layers,
-                                      guess)
+        g_layers, gidx_maps = self._crop_globals(
+            params, matchers, g_layers, l_layers, guess
+        )
         return self._align_core(params, matchers, {}, g_layers, l_layers,
-                                guess, prior)
+                                guess, prior, gidx_maps=gidx_maps)
 
-    def _align_core(self, params, matchers, grids, g_layers, l_layers, guess, prior):
+    def _align_core(self, params, matchers, grids, g_layers, l_layers,
+                    guess, prior, gidx_maps=None):
         eps_t = params.min_abs_step_trans
         eps_r = params.min_abs_step_rot
 
@@ -493,12 +452,18 @@ class ICP:
             def body(carry: _LoopCarry) -> _LoopCarry:
                 pairings = self._run_matchers(
                     matchers, m_active, grids, g_layers, l_layers,
-                    carry.pose, carry.iteration
+                    carry.pose, carry.iteration, gidx_maps
                 )
                 no_pairs = pairings.size() == 0
-                new_pose = self._run_solvers(
-                    pairings, carry.pose, carry.iteration, guess, prior,
-                    s_active,
+                # the reference's sc.lastIcpStepIncrement: the translation
+                # norm of the previous iteration's step (rotation preserves
+                # norms, so |t_i - t_{i-1}| equals the relative-pose
+                # translation norm); unset (has_step=False) at iteration 0
+                step_trans, _ = se3.delta_norms(carry.prev_pose, carry.pose)
+                has_step = carry.iteration > 0
+                new_pose, solver_finished = self._run_solvers(
+                    pairings, carry.pose, carry.iteration, step_trans,
+                    has_step, prior, s_active, carry.solver_finished,
                 )
                 solver_ok = jnp.all(jnp.isfinite(new_pose.t)) & jnp.all(
                     jnp.isfinite(new_pose.R)
@@ -543,10 +508,10 @@ class ICP:
                 return _LoopCarry(
                     pose=pose_out,
                     prev_pose=carry.pose,
-                    prev2_pose=carry.prev_pose,
                     iteration=carry.iteration + 1,
                     reason=reason,
                     pairings=pairings,
+                    solver_finished=solver_finished,
                 )
 
             return body
@@ -572,10 +537,10 @@ class ICP:
         init = _LoopCarry(
             pose=guess,
             prev_pose=guess,
-            prev2_pose=guess,
             iteration=jnp.asarray(0, jnp.int32),
             reason=jnp.asarray(_RUNNING, jnp.int32),
             pairings=init_pairings,
+            solver_finished=jnp.zeros((len(self.solvers),), bool),
         )
         iter_poses = None
         iter_counts = None

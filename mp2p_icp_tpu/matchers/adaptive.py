@@ -58,8 +58,15 @@ class MatcherAdaptive(Matcher):
     plane_eigen_threshold: float = 0.01
     max_pt2pt_correspondences: int = 1  # reference: Matcher_Adaptive.h:70
     allow_match_already_matched_points: bool = False
+    # reference skips globals already claimed by an earlier matcher in the
+    # same iteration and claims its own pt2pt globals
+    # (Matcher_Adaptive.cpp:278-281, :293-299)
+    allow_match_already_matched_global_points: bool = False
     layer_matches: Tuple[LayerMatch, ...] = (LayerMatch(),)
     k_per_cell: int = 16
+    # number of shards on spatial_axis (static; set by make_spatial_align) —
+    # global ids and claim masks span all shards
+    spatial_num_shards: int = 1
     # TPU-specific: mesh axis name when the global map is spatially sharded
     # (set by parallel.spatial.make_spatial_align; SURVEY §5.7) — the NN
     # sweeps this device's shard only and all_gather-merges; neighbour
@@ -103,6 +110,7 @@ class MatcherAdaptive(Matcher):
         pt_blocks, pl_blocks = [], []
         potential = jnp.asarray(0, jnp.int32)
         new_local = dict(state.local_paired) if state is not None else None
+        new_global = dict(state.global_paired) if state is not None else None
         knn = self._knn()
 
         for lm in self.layer_matches:
@@ -195,13 +203,30 @@ class MatcherAdaptive(Matcher):
             ratio_ok = jnp.cumprod(ratio_ok.astype(jnp.int32), axis=1).astype(bool)
             keep = vk & ratio_ok & (dk < max_corr_dist_sq)
             keep = keep & valid[:, None] & ~is_plane[:, None]
-            w = jnp.where(keep, lm.weight * gate, 0.0)
             gidx = res.idx[:, :kk]
+            g_cap = glayer.capacity * (
+                self.spatial_num_shards if self.spatial_axis is not None
+                else 1
+            )
+            if (
+                state is not None
+                and not self.allow_match_already_matched_global_points
+            ):
+                # skip globals an earlier matcher already paired
+                # (Matcher_Adaptive.cpp:278-281)
+                gmask = state.global_paired[lm.global_layer]  # [g_cap]
+                keep = keep & ~gmask[jnp.clip(gidx, 0, g_cap - 1)]
+            w = jnp.where(keep, lm.weight * gate, 0.0)
             if res.xyz is not None:
                 globl_xyz = res.xyz[:, :kk].reshape(-1, 3)
             else:
                 safe_gk = jnp.clip(gidx, 0, glayer.capacity - 1)
                 globl_xyz = glayer.xyz[safe_gk].reshape(-1, 3)
+            # translate recorded ids to user-map indices under crop
+            gm = (ctx.global_index_maps or {}).get(lm.global_layer)
+            gflat_rec = gidx.reshape(-1)
+            if gm is not None:
+                gflat_rec = gm[jnp.clip(gflat_rec, 0, gm.shape[0] - 1)]
             pt_blocks.append(
                 PairsPt2Pt(
                     local=jnp.repeat(local.xyz, kk, axis=0),
@@ -212,7 +237,7 @@ class MatcherAdaptive(Matcher):
                         jnp.repeat(jnp.arange(local.capacity, dtype=jnp.int32), kk),
                         -1,
                     ),
-                    global_idx=jnp.where(w.reshape(-1) > 0, gidx.reshape(-1), -1),
+                    global_idx=jnp.where(w.reshape(-1) > 0, gflat_rec, -1),
                 )
             )
             if state is not None:
@@ -220,6 +245,22 @@ class MatcherAdaptive(Matcher):
                 new_local[lm.local_layer] = (
                     state.local_paired[lm.local_layer] | paired
                 )
+                if not self.allow_match_already_matched_global_points:
+                    # claim this matcher's pt2pt globals (the reference
+                    # marks globals only on the pt2pt path,
+                    # Matcher_Adaptive.cpp:293-299); invalid rows land in
+                    # the dump slot [g_cap] and are sliced away
+                    wflat = w.reshape(-1) > 0
+                    gflat = jnp.where(
+                        wflat, jnp.clip(gidx.reshape(-1), 0, g_cap - 1),
+                        g_cap,
+                    )
+                    claimed = (
+                        jnp.zeros((g_cap + 1,), bool).at[gflat].max(wflat)
+                    )[:g_cap]
+                    new_global[lm.global_layer] = (
+                        new_global[lm.global_layer] | claimed
+                    )
 
         out = {}
         out["pt2pt"] = PairsPt2Pt(
@@ -240,7 +281,7 @@ class MatcherAdaptive(Matcher):
             out,
             MatchState(
                 local_paired=new_local,
-                global_paired=dict(state.global_paired),
+                global_paired=new_global,
             ) if state is not None else None,
             potential,
         )

@@ -19,7 +19,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +80,12 @@ class MatchContext(NamedTuple):
     """Reference: MatchContext{icpIteration} (Matcher.h:60-66)."""
 
     icp_iteration: jax.Array  # traced scalar i32
+    # per-global-layer cropped-index -> ORIGINAL-map-index tables
+    # ([crop_capacity] i32, -1 for padding), set by ICP._align_full when
+    # _crop_globals compacted a layer: matchers translate the global_idx
+    # they RECORD in Pairings through this, so log/results consumers see
+    # the user's own map indices (internal masks keep cropped ids)
+    global_index_maps: Optional[dict] = None
 
 
 @dataclasses.dataclass(frozen=True)

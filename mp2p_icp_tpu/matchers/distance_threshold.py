@@ -177,13 +177,21 @@ class MatcherPointsDistanceThreshold(Matcher):
                 globl_xyz = res.xyz.reshape(-1, 3)
             else:
                 globl_xyz = glayer.xyz[safe_g]
+            # recorded ids translate back to the USER's map indices when
+            # the global layer was crop-compacted (ctx.global_index_maps);
+            # internal claim masks keep using cropped ids
+            gm = (ctx.global_index_maps or {}).get(lm.global_layer)
+            rec_gidx = (
+                gidx if gm is None
+                else gm[jnp.clip(gidx, 0, gm.shape[0] - 1)]
+            )
             blocks.append(
                 PairsPt2Pt(
                     local=local_xyz,
                     globl=globl_xyz,
                     weight=w.reshape(-1),
                     local_idx=jnp.where(w.reshape(-1) > 0, local_idx, -1),
-                    global_idx=jnp.where(w.reshape(-1) > 0, gidx, -1),
+                    global_idx=jnp.where(w.reshape(-1) > 0, rec_gidx, -1),
                 )
             )
 

@@ -101,6 +101,12 @@ class MatcherPointsInlierRatio(Matcher):
             else:
                 safe_g = jnp.clip(gidx, 0, glayer.capacity - 1)
                 globl_xyz = glayer.xyz[safe_g]
+            # translate recorded ids to user-map indices under crop
+            gm = (ctx.global_index_maps or {}).get(lm.global_layer)
+            rec_gidx = (
+                gidx if gm is None
+                else gm[jnp.clip(gidx, 0, gm.shape[0] - 1)]
+            )
             blocks.append(
                 PairsPt2Pt(
                     local=local.xyz,
@@ -109,7 +115,7 @@ class MatcherPointsInlierRatio(Matcher):
                     local_idx=jnp.where(
                         w > 0, jnp.arange(local.capacity, dtype=jnp.int32), -1
                     ),
-                    global_idx=jnp.where(w > 0, gidx, -1),
+                    global_idx=jnp.where(w > 0, rec_gidx, -1),
                 )
             )
             if state is not None:

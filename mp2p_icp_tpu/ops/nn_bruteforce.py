@@ -384,6 +384,8 @@ def _nn_xla_topk(q_rows, p_rows, k, chunk=2048):
     Returns (partial_d [Qp, k] = |p|^2 - 2 q.p, idx [Qp, k])."""
     Qp = q_rows.shape[0]
     chunk = min(chunk, Qp)
+    while Qp % chunk:  # the lax.map reshape needs chunk | Qp; callers pad
+        chunk //= 2    # Qp to a multiple of 512, so this stops by 512
     pn = jnp.sum(p_rows * p_rows, axis=1)  # [Cp]
 
     def one_chunk(q_chunk):  # [chunk, 3]

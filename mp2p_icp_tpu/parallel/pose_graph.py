@@ -180,9 +180,21 @@ def optimize_pose_graph_cg(
     (greenfield; the reference has only per-pair covariance,
     covariance.cpp:30-141).
 
-    Returns (poses, final_chi2).
+    Returns (poses, final_chi2) — chi2 is re-evaluated AT the returned
+    poses (the dense optimize_pose_graph does the same), not the stale
+    value from before the last update.
     """
     N = poses.t.shape[0]
+
+    def chi2_at(poses, edges_shard):
+        r, *_ = _edge_terms(poses, edges_shard)
+        w = edges_shard.valid.astype(jnp.float32)
+        c = jnp.sum(
+            w * jnp.einsum("ea,eab,eb->e", r, edges_shard.information, r)
+        )
+        if mesh is not None:
+            c = jax.lax.psum(c, axis)
+        return c
 
     def gn_step(poses, edges_shard):
         r, Ji, Jj, Li, Lj = _edge_terms(poses, edges_shard)
@@ -252,9 +264,10 @@ def optimize_pose_graph_cg(
                 p, _ = carry
                 return gn_step(p, edges)
 
-            return jax.lax.fori_loop(
+            final, _ = jax.lax.fori_loop(
                 0, params.max_iterations, body, (poses, jnp.asarray(0.0))
             )
+            return final, chi2_at(final, edges)
 
         return run(poses, edges)
 
@@ -285,6 +298,11 @@ def optimize_pose_graph_cg(
         in_specs=(Pose(P(), P()), edge_spec),
         out_specs=(Pose(P(), P()), P()),
     )
+    sharded_chi2 = shard_map(
+        chi2_at, mesh=mesh,
+        in_specs=(Pose(P(), P()), edge_spec),
+        out_specs=P(),
+    )
 
     @jax.jit
     def run(poses, edges):
@@ -292,9 +310,10 @@ def optimize_pose_graph_cg(
             p, _ = carry
             return sharded_step(p, edges)
 
-        return jax.lax.fori_loop(
+        final, _ = jax.lax.fori_loop(
             0, params.max_iterations, body, (poses, jnp.asarray(0.0))
         )
+        return final, sharded_chi2(final, edges)
 
     return run(poses, edges)
 
@@ -357,11 +376,21 @@ def optimize_pose_graph_sharded(
         )(poses.R, poses.t, delta)
         return new, chi2
 
+    def chi2_shard(poses, edges_shard):
+        _, _, c = _assemble(poses, edges_shard, 0.0)
+        return jax.lax.psum(c, axis)
+
     sharded_step = shard_map(
         step,
         mesh=mesh,
         in_specs=(Pose(P(), P()), edge_spec),
         out_specs=(Pose(P(), P()), P()),
+    )
+    sharded_chi2 = shard_map(
+        chi2_shard,
+        mesh=mesh,
+        in_specs=(Pose(P(), P()), edge_spec),
+        out_specs=P(),
     )
 
     @jax.jit
@@ -370,8 +399,10 @@ def optimize_pose_graph_sharded(
             p, _ = carry
             return sharded_step(p, edges)
 
-        return jax.lax.fori_loop(
+        final, _ = jax.lax.fori_loop(
             0, params.max_iterations, body, (poses, jnp.asarray(0.0))
         )
+        # chi2 AT the final poses, not the pre-update stale value
+        return final, sharded_chi2(final, edges)
 
     return run(poses, edges)

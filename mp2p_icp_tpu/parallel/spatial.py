@@ -104,9 +104,11 @@ def make_spatial_align(icp: ICP, params: ICPParameters, mesh,
     def body(l_layers, g_sharded, guess):
         # squeeze the shard axis: inside shard_map each device holds [1,...]
         g_local = jax.tree_util.tree_map(lambda x: x[0], g_sharded)
-        # per-shard bbox crop for maps past crop_capacity per device
-        g_local = icp._crop_globals(params, matchers, g_local, l_layers,
-                                    guess)
+        # per-shard bbox crop for maps past crop_capacity per device;
+        # crop index maps are dropped here — sharded pairings record
+        # shard-local cropped ids (coords ride NNResult.xyz instead)
+        g_local, _ = icp._crop_globals(params, matchers, g_local, l_layers,
+                                       guess)
         return icp._align_core(
             params, matchers, {}, g_local, l_layers, guess, None
         )

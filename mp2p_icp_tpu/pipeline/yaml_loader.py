@@ -181,6 +181,12 @@ def _build_matcher_adaptive(p: dict):
         max_pt2pt_correspondences=int(
             _num(p.get("maxPt2PtCorrespondences", 1))  # Matcher_Adaptive.h:70
         ),
+        allow_match_already_matched_global_points=bool(
+            p.get("allowMatchAlreadyMatchedGlobalPoints", False)
+        ),
+        allow_match_already_matched_points=bool(
+            p.get("allowMatchAlreadyMatchedPoints", False)
+        ),
         layer_matches=_layer_matches(p),
         **_gating(p),
     )

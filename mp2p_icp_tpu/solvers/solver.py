@@ -33,16 +33,16 @@ class Solver:
     run_up_to_iteration: int = 0  # 0 = unbounded
     run_until_translation_correction_smaller_than: float = 0.0
 
-    def gate(self, iteration, correction_from_guess):
+    def gate(self, iteration):
+        """Static iteration-window gate (Solver.cpp:40-42). The dynamic
+        runUntilTranslationCorrectionSmallerThan latch lives in
+        ICP._run_solvers — it needs the last step increment and the
+        persistent per-solver 'finished' state from the align loop carry
+        (Solver.cpp:44-60)."""
         on = jnp.asarray(self.enabled)
         on = on & (iteration >= self.run_from_iteration)
         if self.run_up_to_iteration > 0:
             on = on & (iteration <= self.run_up_to_iteration)
-        if self.run_until_translation_correction_smaller_than > 0:
-            on = on & (
-                correction_from_guess
-                >= self.run_until_translation_correction_smaller_than
-            )
         return on
 
 

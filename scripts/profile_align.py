@@ -170,17 +170,19 @@ def main():
 
     # --- one full loop-body iteration per segment type
     def chain_iter(m_active, s_active):
-        def fn(t, g_l, l_l, gss):
+        def fn(t, g_l, l_l):
             acc = jnp.float32(0.0)
+            fin = jnp.zeros((len(icp.solvers),), bool)
             for _ in range(n_chain):
                 pose = se3.Pose(jnp.eye(3), t + acc * 0.0)
                 prs = icp._run_matchers(
                     (dt_matcher, ad_matcher), m_active, {}, g_l,
                     l_l, pose, jnp.asarray(0, jnp.int32)
                 )
-                new = icp._run_solvers(
-                    prs, pose, jnp.asarray(0, jnp.int32), gss, None,
-                    s_active,
+                new, fin = icp._run_solvers(
+                    prs, pose, jnp.asarray(0, jnp.int32),
+                    jnp.float32(1.0), jnp.asarray(False), None,
+                    s_active, fin,
                 )
                 acc = new.t[0]
             return acc
@@ -188,9 +190,9 @@ def main():
         return fn
 
     timed("dt_iter", chain_iter((True, False), (True, False)),
-          jnp.zeros(3), g_layers, l_layers, guess)
+          jnp.zeros(3), g_layers, l_layers)
     timed("ad_iter", chain_iter((False, True), (False, True)),
-          jnp.zeros(3), g_layers, l_layers, guess)
+          jnp.zeros(3), g_layers, l_layers)
 
     # --- full align, honest sync (N sequential dispatches, fetch last)
     res = icp.align(l_layers, g_layers, guess, params)

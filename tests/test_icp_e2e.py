@@ -267,3 +267,68 @@ class TestRecordIterations:
         import os
 
         assert os.path.exists(prefix + "_iter003.png")
+
+
+class TestRunUntilTranslationCorrectionGate:
+    """runUntilTranslationCorrectionSmallerThan semantics (Solver.cpp:44-60):
+    the solver RUNS while the last ICP step increment is unset (iteration 0)
+    or >= threshold, and latches off PERMANENTLY once an increment falls
+    below it. The previous implementation gated on distance-from-guess,
+    which inverted the handoff (off at iteration 0, on forever after)."""
+
+    def test_solver_runs_first_iteration_then_latches(self):
+        """thr larger than any possible step: the solver must run exactly
+        once (iteration 0, increment unset) and latch at iteration 1.
+        One Horn step on NN correspondences gets partway to the truth, so
+        the final error must be well below the initial offset (solver ran
+        — the old gate left pose == guess) but well above a converged run
+        (the latch stopped further iterations)."""
+        from mp2p_icp_tpu.core.pointcloud import PointCloud
+
+        rng = np.random.RandomState(0)
+        xyz = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+        gt = se3.from_xyz_ypr(0.3, -0.1, 0.05, 0.02, 0.0, -0.01)
+        local_xyz = np.array(se3.apply(se3.inverse(gt), jnp.asarray(xyz)))
+        local = {"raw": PointCloud.from_numpy(local_xyz)}
+        globl = {"raw": PointCloud.from_numpy(xyz)}
+
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=1.0)],
+            solvers=[
+                SolverHorn(run_until_translation_correction_smaller_than=100.0)
+            ],
+            quality_evaluators=[QualityPairedRatio()],
+        )
+        res = icp.align(local, globl, se3.identity(),
+                        ICPParameters(max_iterations=10))
+        err = float(se3.error_log_norm(gt, res.optimal_tf))
+        err0 = float(se3.error_log_norm(gt, se3.identity()))
+        # old gate: solver never ran -> err == err0 (~0.32); unlatched:
+        # 10 iterations would converge to < 0.02
+        assert err < 0.6 * err0, (err, err0)
+        assert err > 0.02, err
+
+    def test_coarse_to_fine_handoff_converges(self):
+        """Horn-until-small-steps + GN: the latch hands off to GN and the
+        pipeline still converges fully."""
+        from mp2p_icp_tpu.core.pointcloud import PointCloud
+
+        rng = np.random.RandomState(1)
+        xyz = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+        gt = se3.from_xyz_ypr(0.25, 0.1, -0.05, 0.01, -0.02, 0.03)
+        local_xyz = np.array(se3.apply(se3.inverse(gt), jnp.asarray(xyz)))
+        local = {"raw": PointCloud.from_numpy(local_xyz)}
+        globl = {"raw": PointCloud.from_numpy(xyz)}
+
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=1.0)],
+            solvers=[
+                SolverHorn(run_until_translation_correction_smaller_than=0.05),
+                SolverGaussNewton(gn_params=GNParams(max_iterations=3)),
+            ],
+            quality_evaluators=[QualityPairedRatio()],
+        )
+        res = icp.align(local, globl, se3.identity(),
+                        ICPParameters(max_iterations=25))
+        err = float(se3.error_log_norm(gt, res.optimal_tf))
+        assert err < 0.01, err

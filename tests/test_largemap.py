@@ -196,3 +196,36 @@ class TestScanToLargeMap:
             np.array(r_on.optimal_tf.t), np.array(r_off.optimal_tf.t),
             atol=5e-3,
         )
+
+
+class TestCropIndexRemap:
+    def test_recorded_global_idx_are_original_map_indices(self):
+        """When _crop_globals compacts the global layer, recorded
+        final_pairings.global_idx must reference the USER's map rows, not
+        the hidden cropped/stride-decimated temporary (VERDICT-class
+        observability bug: a viewer mapping pairs back to the map would
+        draw lines to the wrong points)."""
+        rng = np.random.RandomState(7)
+        scene = _corridor_scene(rng, 1 << 15)
+        local_xyz = _local_view(scene, 200.0, rng, n=1024, radius=30.0)
+        gmap = PointCloud.from_numpy(scene, capacity=1 << 15)
+        local = {"raw": PointCloud.from_numpy(local_xyz, capacity=1024)}
+
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=2.0)],
+            solvers=[SolverHorn()],
+        )
+        params = ICPParameters(
+            max_iterations=25, crop_capacity=1 << 12, crop_extra_margin=4.0
+        )
+        res = icp.align(local, {"raw": gmap}, se3.identity(), params)
+
+        gi = np.asarray(res.final_pairings.pt2pt.global_idx)
+        w = np.asarray(res.final_pairings.pt2pt.weight)
+        gxyz = np.asarray(res.final_pairings.pt2pt.globl)
+        sel = w > 0
+        assert sel.sum() > 100
+        # every recorded id addresses the ORIGINAL map and the recorded
+        # neighbour coordinates are exactly that original row
+        assert gi[sel].min() >= 0 and gi[sel].max() < scene.shape[0]
+        np.testing.assert_allclose(scene[gi[sel]], gxyz[sel], atol=0)

@@ -243,3 +243,56 @@ class TestParameterizableThreshold:
         a = MatcherPointsDistanceThreshold(threshold=Expression("1+1"))
         b = MatcherPointsDistanceThreshold(threshold=Expression("1+1"))
         assert hash(a) == hash(b) and a == b
+
+
+class TestAdaptiveGlobalClaims:
+    def test_adaptive_skips_globals_claimed_by_earlier_matcher(self):
+        """Matcher_Adaptive.cpp:278-281: when sharing a schedule segment,
+        the adaptive matcher must skip global points an earlier matcher
+        already paired (and claim its own), or those correspondences get
+        double-weighted in the solver."""
+        import jax.numpy as jnp
+
+        from mp2p_icp_tpu.core import se3
+        from mp2p_icp_tpu.core.pointcloud import PointCloud
+        from mp2p_icp_tpu.icp import ICP
+        from mp2p_icp_tpu.matchers import (
+            MatcherAdaptive,
+            MatcherPointsDistanceThreshold,
+        )
+
+        rng = np.random.RandomState(3)
+        xyz = rng.uniform(-5, 5, (512, 3)).astype(np.float32)
+        g = {"raw": PointCloud.from_numpy(xyz)}
+        loc = {"raw": PointCloud.from_numpy(
+            (xyz + 0.01 * rng.randn(512, 3)).astype(np.float32))}
+
+        dt = MatcherPointsDistanceThreshold(threshold=1.0)
+        ad = MatcherAdaptive(absolute_max_search_distance=1.0,
+                             confidence_interval=0.95)
+        icp = ICP(matchers=[dt, ad], solvers=[])
+        prs = icp._run_matchers(
+            (dt, ad), (True, True), {}, g, loc, se3.identity(),
+            jnp.asarray(0, jnp.int32),
+        )
+        w = np.asarray(prs.pt2pt.weight)
+        gi = np.asarray(prs.pt2pt.global_idx)
+        C = loc["raw"].capacity  # DT emits k=1 block first, adaptive second
+        dt_g = set(gi[:C][w[:C] > 0].tolist())
+        ad_g = set(gi[C:][w[C:] > 0].tolist())
+        assert len(dt_g) > 100  # DT paired essentially everything
+        assert not (dt_g & ad_g), f"{len(dt_g & ad_g)} globals double-paired"
+
+        # with the allow flag the adaptive matcher may re-pair them
+        ad2 = MatcherAdaptive(absolute_max_search_distance=1.0,
+                              confidence_interval=0.95,
+                              allow_match_already_matched_global_points=True,
+                              allow_match_already_matched_points=True)
+        prs2 = icp._run_matchers(
+            (dt, ad2), (True, True), {}, g, loc, se3.identity(),
+            jnp.asarray(0, jnp.int32),
+        )
+        w2 = np.asarray(prs2.pt2pt.weight)
+        gi2 = np.asarray(prs2.pt2pt.global_idx)
+        ad2_g = set(gi2[C:][w2[C:] > 0].tolist())
+        assert dt_g & ad2_g, "allow flag should permit re-pairing"
