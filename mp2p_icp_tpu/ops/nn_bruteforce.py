@@ -609,19 +609,53 @@ def knn_bruteforce(
         # only when tile + point blocks comfortably fit ~16 MB VMEM.
         # (block_c=64 fails to compile on this image's Mosaic — keep >=128.)
         block_c = 256 if (Qp <= 8192 and C <= 32768) else 128
-        if C > stream_block:
-            pdist, idx = _knn_pallas_streamed(
-                q, p, k, Qp, block_c, interpret, stream_block
-            )
+        # query-axis slabbing: the [block_c, Qp] f32 distance tile grows
+        # with Qp (8192 x 256 x 4 B = 8.4 MB, the largest proven-compiling
+        # tile here) — a 16k+-point local layer would blow the VMEM budget
+        # the kernel assumes, so sweep query slabs of <= 8192 against the
+        # shared point blocks and concatenate. (For the streamed-map case
+        # each slab re-reads the [32, C] augmented map from HBM — bandwidth
+        # -bound but correct; multi-slab + multi-million-point maps is the
+        # crop path's job to avoid.)
+        QSLAB = 8192
+        if Qp <= QSLAB:
+            slabs = [(q, Q, Qp)]
         else:
-            Cp = _round_up(C, block_c)
-            qaug, paug = _augment_bf16(q, p, Qp, Cp, far)
-            # ALL k neighbours in one sweep (in-kernel k-best extraction)
-            pd, pi = _nnk_pallas_gridless(
-                qaug, paug, k, block_c=block_c, interpret=interpret
-            )
-            idx = pi.T[:Q]  # [Q, k]
-            pdist = pd.T[:Q]
+            slabs = []
+            for s in range(0, Q, QSLAB):
+                q_sub = q[s : s + QSLAB]
+                n_sub = q_sub.shape[0]
+                slabs.append((q_sub, n_sub, _round_up(n_sub, 512)))
+        pds, pis = [], []
+        paug_shared = None
+        for q_sub, n_sub, Qp_sub in slabs:
+            if C > stream_block:
+                pd_s, pi_s = _knn_pallas_streamed(
+                    q_sub, p, k, Qp_sub, block_c, interpret, stream_block
+                )  # [n_sub, k]
+            else:
+                Cp = _round_up(C, block_c)
+                if paug_shared is None:
+                    pT = jnp.concatenate(
+                        [p.T, jnp.full((3, Cp - C), -far, jnp.float32)],
+                        axis=1,
+                    )
+                    paug_shared = _augment_p(pT)
+                qT = jnp.concatenate(
+                    [q_sub.T,
+                     jnp.full((3, Qp_sub - n_sub), far, jnp.float32)],
+                    axis=1,
+                )
+                # ALL k neighbours in one sweep (in-kernel k-best extract)
+                pd_k, pi_k = _nnk_pallas_gridless(
+                    _augment_q(qT), paug_shared, k, block_c=block_c,
+                    interpret=interpret,
+                )
+                pd_s, pi_s = pd_k.T[:n_sub], pi_k.T[:n_sub]
+            pds.append(pd_s)
+            pis.append(pi_s)
+        pdist = pds[0] if len(pds) == 1 else jnp.concatenate(pds, axis=0)
+        idx = pis[0] if len(pis) == 1 else jnp.concatenate(pis, axis=0)
     else:
         Qp = _round_up(Q, 512)
         if Qp != Q:

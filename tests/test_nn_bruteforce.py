@@ -145,3 +145,33 @@ class TestBf16SplitPrecision:
         assert float(
             np.max(np.abs(np.asarray(res.dist_sq[:, 0]) - chosen))
         ) < 2e-2
+
+
+class TestQuerySlabbing:
+    def test_large_query_count_matches_xla(self):
+        """Q > 8192 query slabbing on the pallas path (VMEM tile bound):
+        slabbed pallas (interpret) == single-shot XLA, exactly."""
+        rng = np.random.RandomState(5)
+        Q, C = 9000, 700  # Qp = 9216 > 8192 -> two slabs (8192 + 1024)
+        queries = rng.uniform(-10, 10, (Q, 3)).astype(np.float32)
+        points = rng.uniform(-10, 10, (C, 3)).astype(np.float32)
+        qv = np.ones(Q, bool)
+        qv[8950:] = False  # invalids land in the second slab
+        pv = np.ones(C, bool)
+        a = knn_bruteforce(
+            jnp.asarray(queries), jnp.asarray(qv), jnp.asarray(points),
+            jnp.asarray(pv), k=2, backend="pallas", interpret=True,
+        )
+        b = knn_bruteforce(
+            jnp.asarray(queries), jnp.asarray(qv), jnp.asarray(points),
+            jnp.asarray(pv), k=2, backend="xla",
+        )
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        sel = np.asarray(a.valid)
+        np.testing.assert_array_equal(
+            np.asarray(a.idx)[sel], np.asarray(b.idx)[sel]
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.dist_sq)[sel], np.asarray(b.dist_sq)[sel],
+            rtol=0, atol=5e-3,
+        )
