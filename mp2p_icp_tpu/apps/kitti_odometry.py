@@ -131,27 +131,35 @@ def run_sequence(
         traj = [se3.identity()]
         rel_prev = se3.identity()
         prev_layers = prep(scan_paths[0])
+        t0 = time.perf_counter()
 
         for i, path in enumerate(scan_paths[1:], start=1):
             cur_layers = prep(path)
             guess = rel_prev  # constant-velocity model
-            t0 = time.perf_counter()
             res = icp.align(cur_layers, prev_layers, guess, params)
-            # host fetch = true sync (jax.block_until_ready does not block
-            # through the axon tunnel)
-            _ = float(res.optimal_tf.t[0])
-            t_align += time.perf_counter() - t0
-            n_align += 1
             rel = res.optimal_tf
+            # the seed and the trajectory chain stay ON DEVICE — a host
+            # fetch here would add the ~25 ms tunnel round trip to EVERY
+            # align (the constant-velocity model needs only device-to-
+            # device chaining); fetch occasionally for progress/backpressure
             traj.append(se3.compose(traj[-1], rel))
             rel_prev = rel
             prev_layers = cur_layers
-            if verbose and i % 50 == 0:
-                print(
-                    f"[kitti-odometry] {i}/{len(scan_paths) - 1} "
-                    f"({n_align / max(t_align, 1e-9):.2f} scans/s)",
-                    flush=True,
-                )
+            n_align += 1
+            if i % 50 == 0:
+                # host fetch = true sync (jax.block_until_ready does not
+                # block through the axon tunnel); bounds all enqueued work
+                _ = float(rel.t[0])
+                if verbose:
+                    print(
+                        f"[kitti-odometry] {i}/{len(scan_paths) - 1} "
+                        f"({n_align / max(time.perf_counter() - t0, 1e-9):.2f}"
+                        " scans/s)",
+                        flush=True,
+                    )
+        # final true sync before closing the timing window
+        _ = float(traj[-1].t[0])
+        t_align = time.perf_counter() - t0
 
     est = poses_from_se3(traj)
     out = {

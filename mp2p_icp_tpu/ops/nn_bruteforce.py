@@ -184,7 +184,13 @@ def _nnk_kernel_gridless_batched(qaug_ref, paug_ref, bestd_ref, besti_ref,
     bestd/besti [B, K, Qp]. One gridless kernel with an outer fori_loop
     over B — this is how vmap(knn) reaches the TPU (vmapping a pallas_call
     would introduce a grid, which hangs this image's remote Mosaic
-    compiler; see _nnk_pallas_gridless vmap rule)."""
+    compiler; see _nnk_pallas_gridless vmap rule).
+
+    NOTE: the inner sweep DELIBERATELY duplicates _nnk_kernel_gridless
+    (only the ref indexing differs) rather than sharing a helper — this
+    image's remote Mosaic compiler is fragile (gridded calls hang it,
+    block_c=64 500s) and both lowerings are proven; keep any fix to the
+    sweep/min/merge logic in sync between the two bodies."""
     BIG = 3.0e37
     B = qaug_ref.shape[0]
     Qp = qaug_ref.shape[2]
