@@ -85,14 +85,14 @@ def main(argv=None):
     g = [float(x) for x in args.guess.split()]
     guess = se3.from_xyz_ypr(*g)
 
-    t0 = time.perf_counter()
-    res = icp.align(local_mm, global_mm, guess, params)
-    jax.block_until_ready(res.optimal_tf.t)
-    dt = time.perf_counter() - t0
-
     import numpy as np
 
+    t0 = time.perf_counter()
+    res = icp.align(local_mm, global_mm, guess, params)
+    # host fetch = the only true sync on the axon TPU platform
+    # (jax.block_until_ready does NOT block through the tunnel)
     t = np.asarray(res.optimal_tf.t)
+    dt = time.perf_counter() - t0
     q = se3.rot_to_quat(res.optimal_tf.R)
     print(f"ICP result:")
     print(f"  translation : [{t[0]:.6f}, {t[1]:.6f}, {t[2]:.6f}]")

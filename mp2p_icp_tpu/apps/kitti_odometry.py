@@ -53,9 +53,15 @@ def run_sequence(
     if max_frames:
         scan_paths = scan_paths[:max_frames]
 
-    # fixed capacity across the sequence for jit stability
-    first = load_kitti_bin(str(scan_paths[0]))
-    cap = first.capacity
+    # ONE fixed capacity across the whole sequence for jit stability,
+    # sized from the LARGEST scan (a KITTI .bin is 16 bytes/point, so one
+    # cheap stat pass suffices) — sizing from the first scan crashed with
+    # 'capacity < point count' the first time a later scan crossed its
+    # power-of-two bucket, hours into a sequence
+    import os as _os
+
+    max_pts = max(_os.path.getsize(str(p)) // 16 for p in scan_paths)
+    cap = round_capacity(max(int(max_pts), 1))
 
     def prep(path):
         pc = load_kitti_bin(str(path), capacity=cap)

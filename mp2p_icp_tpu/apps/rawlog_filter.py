@@ -53,13 +53,14 @@ def main(argv=None):
     generators = generators_from_yaml(cfg.get("generators"))
     if "filters" not in cfg:
         print("[rawlog-filter] Warning: no filters defined in the pipeline.")
-    filters = filter_pipeline_from_yaml(cfg.get("filters"))
 
-    # zero-default twist / robot-pose dynamic variables
-    # (reference: main.cpp:141-152)
+    # zero-default twist / robot-pose dynamic variables, declared BEFORE
+    # the pipeline parse so $f{} params may reference them
+    # (reference: main.cpp:141-152 declares them first)
     variables = {v: 0.0 for v in ("vx", "vy", "vz", "wx", "wy", "wz",
                                   "robot_x", "robot_y", "robot_z",
                                   "robot_yaw", "robot_pitch", "robot_roll")}
+    filters = filter_pipeline_from_yaml(cfg.get("filters"), variables)
 
     print(f"[rawlog-filter] Reading input rawlog from: '{args.input}'...")
     rl = Rawlog.load(args.input)

@@ -202,6 +202,12 @@ class MetricMap:
 
         for name, layer in other.layers.items():
             if not isinstance(layer, PointCloud):
+                if pose is not None:
+                    raise NotImplementedError(
+                        f"merge_with: transforming non-point layer '{name}' "
+                        "by a pose is not supported — inserting it "
+                        "untransformed would silently misplace the data"
+                    )
                 if name not in self.layers:
                     self.layers[name] = layer
                 continue
@@ -215,7 +221,24 @@ class MetricMap:
             merged = np.full((cap, 3), PointCloud.PAD_VALUE, np.float32)
             merged[:n_dst] = np.asarray(dst.xyz[:n_dst])
             merged[n_dst : n_dst + n_src] = np.asarray(src.xyz[:n_src])
+
+            # per-point channels survive the merge (reference merge_with
+            # copies full point records, metricmap.cpp:442-532): a channel
+            # present on EITHER side is kept, zero-filled where absent
+            def merge_ch(a, b):
+                if a is None and b is None:
+                    return None
+                m = np.zeros((cap,), np.float32)
+                if a is not None:
+                    m[:n_dst] = np.asarray(a[:n_dst])
+                if b is not None:
+                    m[n_dst : n_dst + n_src] = np.asarray(b[:n_src])
+                return jnp.asarray(m)
+
             self.layers[name] = PointCloud(
                 xyz=jnp.asarray(merged),
                 count=jnp.asarray(n_dst + n_src, jnp.int32),
+                intensity=merge_ch(dst.intensity, src.intensity),
+                ring=merge_ch(dst.ring, src.ring),
+                time=merge_ch(dst.time, src.time),
             )

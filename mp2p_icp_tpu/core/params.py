@@ -116,17 +116,33 @@ class Expression:
         if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARY:
             return _UNARY[type(node.op)](self._eval(node.operand, env))
         if isinstance(node, ast.Compare) and len(node.ops) == 1:
-            return float(
-                _CMP[type(node.ops[0])](
-                    self._eval(node.left, env),
-                    self._eval(node.comparators[0], env),
-                )
+            res = _CMP[type(node.ops[0])](
+                self._eval(node.left, env),
+                self._eval(node.comparators[0], env),
             )
+            if isinstance(res, (bool, int, float)):
+                return float(res)
+            # traced comparison (e.g. against ICP_ITERATION inside jit):
+            # keep it traced — float() would raise ConcretizationTypeError
+            import jax.numpy as jnp
+
+            return res.astype(jnp.float32)
         if isinstance(node, ast.IfExp):
-            return (
-                self._eval(node.body, env)
-                if self._eval(node.test, env)
-                else self._eval(node.orelse, env)
+            test = self._eval(node.test, env)
+            if isinstance(test, (bool, int, float)):
+                return (
+                    self._eval(node.body, env)
+                    if test
+                    else self._eval(node.orelse, env)
+                )
+            # traced condition: evaluate both arms (pure arithmetic) and
+            # select — `if tracer:` would raise at trace time
+            import jax.numpy as jnp
+
+            return jnp.where(
+                jnp.asarray(test).astype(bool),
+                self._eval(node.body, env),
+                self._eval(node.orelse, env),
             )
         if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
             fn = _ALLOWED_FUNCS.get(node.func.id)

@@ -67,10 +67,7 @@ class FilterCurvature(FilterBase):
         new_ring = jnp.concatenate(
             [jnp.ones((1,), bool), rs[1:] != rs[:-1]]
         )
-        seg = jnp.cumsum(new_ring.astype(jnp.int32)) - 1
         row = jnp.arange(C, dtype=jnp.int32)
-        seg_start = jax.ops.segment_min(row, seg, num_segments=C)
-        seg_end = jax.ops.segment_max(row, seg, num_segments=C)
 
         # (1) clearance vs previous raw ring point
         prev_raw = jnp.clip(row - 1, 0, C - 1)

@@ -130,17 +130,53 @@ class FilterDecimateVoxels(FilterBase):
 
         # bypass: too few input points -> copy input through
         # (reference: minimum_input_points_to_filter)
-        if self.minimum_input_points_to_filter > 0 and len(inputs) == 1:
+        if self.minimum_input_points_to_filter > 0:
+            if len(inputs) != 1:
+                raise ValueError(
+                    "minimum_input_points_to_filter bypass needs exactly "
+                    "one input layer (the passthrough source is ambiguous "
+                    "otherwise)"
+                )
             bypass = total < self.minimum_input_points_to_filter
             pc0 = inputs[0]
-            if pc0.capacity == out_cap:
-                out = PointCloud(
-                    xyz=jnp.where(bypass, pc0.xyz, out.xyz),
-                    count=jnp.where(bypass, pc0.count, out.count),
-                    intensity=out.intensity,
-                    ring=out.ring,
-                    time=out.time,
+
+            # statically resize the input to out_cap so the bypass works
+            # for ANY capacity pairing (it used to be silently skipped
+            # unless the capacities happened to match)
+            def fit(arr, fill):
+                if arr.shape[0] >= out_cap:
+                    return arr[:out_cap]
+                pad_shape = (out_cap - arr.shape[0],) + arr.shape[1:]
+                return jnp.concatenate(
+                    [arr, jnp.full(pad_shape, fill, arr.dtype)]
                 )
+
+            def fit_ch(src_ch, out_ch):
+                if src_ch is None and out_ch is None:
+                    return None
+                s = (
+                    fit(src_ch, 0.0) if src_ch is not None
+                    else jnp.zeros((out_cap,), jnp.float32)
+                )
+                o = (
+                    out_ch if out_ch is not None
+                    else jnp.zeros((out_cap,), jnp.float32)
+                )
+                return jnp.where(bypass, s, o)
+
+            out = PointCloud(
+                xyz=jnp.where(
+                    bypass, fit(pc0.xyz, PointCloud.PAD_VALUE), out.xyz
+                ),
+                count=jnp.where(
+                    bypass,
+                    jnp.minimum(pc0.count, jnp.asarray(out_cap, jnp.int32)),
+                    out.count,
+                ),
+                intensity=fit_ch(pc0.intensity, out.intensity),
+                ring=fit_ch(pc0.ring, out.ring),
+                time=fit_ch(pc0.time, out.time),
+            )
 
         new_layers = dict(layers)
         new_layers[self.output_pointcloud_layer] = out

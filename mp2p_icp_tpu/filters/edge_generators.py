@@ -77,33 +77,55 @@ class GeneratorEdgesFromRangeImage(FilterBase):
     input_pointcloud_layer: str = "raw"
     target_layer: str = "edges"
     score_threshold: int = 10
-    window: int = 4  # half-window of the row scoring
+    window: int = 4  # half-window W of the row-diff stats (reference: 2W+1)
 
     def __call__(self, layers: Dict[str, PointCloud], variables=None):
+        """Reference scoring (GeneratorEdgesFromRangeImage.cpp:100-143):
+        per row, the (2W+1)-window mean/variance of the RANGE DIFFS around
+        i, then score^2 = (range_i - mean_diff)^2 / var — edge when
+        score^2 > score_threshold and var > 0. The ratio is scale-free, so
+        float metres match the reference's fixed-point sensor units; ranges
+        are quantised to integer mm so a perfectly flat integer window
+        yields the reference's exact var == 0 rejection (the previous
+        sign-sum score was bounded by 2*window = 8 and could NEVER reach
+        the default threshold 10 — an always-empty edges layer)."""
         pc = layers[self.input_pointcloud_layer]
         if pc.ring is None:
             raise ValueError(
                 "GeneratorEdgesFromRangeImage needs a 'ring' channel"
             )
         C = pc.capacity
+        W = self.window
+        n = 2 * W + 1
         valid = pc.valid_mask()
         ring = pc.ring.astype(jnp.int32)
-        rng = jnp.linalg.norm(pc.xyz, axis=-1)
-        # signed range-step sign within the row, windows accumulated by
-        # shifts (row boundaries masked by ring equality)
-        score = jnp.zeros((C,), jnp.int32)
-        for s in range(1, self.window + 1):
-            left = jnp.clip(jnp.arange(C) - s, 0, C - 1)
-            right = jnp.clip(jnp.arange(C) + s, 0, C - 1)
-            same_l = (ring[left] == ring) & valid[left]
-            same_r = (ring[right] == ring) & valid[right]
-            score = score + jnp.where(
-                same_l, jnp.sign(rng - rng[left]).astype(jnp.int32), 0
-            )
-            score = score + jnp.where(
-                same_r, jnp.sign(rng - rng[right]).astype(jnp.int32), 0
-            )
-        is_edge = valid & (jnp.abs(score) >= self.score_threshold)
+        idx = jnp.arange(C)
+        r_mm = jnp.round(jnp.linalg.norm(pc.xyz, axis=-1) * 1000.0)
+        prev = jnp.clip(idx - 1, 0, C - 1)
+        d = r_mm - r_mm[prev]  # diff at i (vs previous column in the row)
+        d_ok = (ring[prev] == ring) & valid[prev] & valid
+
+        # windowed stats over d[i-W .. i+W]; reference requires the FULL
+        # window inside the row (i in [1+W, nCols-W))
+        sum_d = jnp.zeros((C,), jnp.float32)
+        full = jnp.ones((C,), bool)
+        offs = list(range(-W, W + 1))
+        js = [jnp.clip(idx + s, 0, C - 1) for s in offs]
+        for j in js:
+            ok = d_ok[j] & (ring[j] == ring)
+            full = full & ok
+            sum_d = sum_d + d[j]
+        mean = sum_d / n
+        # two-pass variance: deviations are small, so f32 stays exact
+        # enough that an all-equal integer window gives var ~ 0 while the
+        # smallest real integer variance is (n-1)/n^2 ~ 0.1
+        var = jnp.zeros((C,), jnp.float32)
+        for j in js:
+            var = var + (d[j] - mean) ** 2
+        var = var / n
+        has_var = var > 0.05  # reference: rdVar == 0 -> never an edge
+        score_sq = jnp.where(has_var, (r_mm - mean) ** 2 / jnp.maximum(var, 1e-9), 0.0)
+        is_edge = valid & full & has_var & (score_sq > self.score_threshold)
         out = dict(layers)
         out[self.target_layer] = compact(pc, is_edge)
         return out

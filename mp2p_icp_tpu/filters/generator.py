@@ -212,7 +212,10 @@ class Generator:
             xyz = np.array(se3.apply(obs.sensor_pose, jnp.asarray(xyz)))
 
         if self.metric_map_definition:
-            return self._insert_custom(xyz, mm, obs.sensor_pose)
+            return self._insert_custom(
+                xyz, mm, obs.sensor_pose,
+                intensity=intensity, ring=ring, time=time,
+            )
 
         pc = PointCloud.from_numpy(
             xyz, intensity=intensity, ring=ring, time=time
@@ -227,7 +230,8 @@ class Generator:
 
     # -------------------------------------------------------- custom maps
     def _insert_custom(
-        self, xyz: np.ndarray, mm: MetricMap, sensor_pose=None
+        self, xyz: np.ndarray, mm: MetricMap, sensor_pose=None,
+        intensity=None, ring=None, time=None,
     ) -> bool:
         """Create-if-new + insert for a YAML-defined layer class
         (reference: implProcessCustomMap, Generator.cpp:492-612). Supported
@@ -243,7 +247,15 @@ class Generator:
             "CPointsMapXYZI",
             "CPointsMapXYZIRT",
         ):
-            pc = PointCloud.from_numpy(xyz)
+            # the XYZI(RT) flavours carry per-point channels — dropping
+            # them here would break later FilterByRing/Deskew/ByIntensity
+            # on data the reference pipeline handles (Generator.cpp:522-557)
+            pc = PointCloud.from_numpy(
+                xyz,
+                intensity=intensity if cls != "CSimplePointsMap" else None,
+                ring=ring if cls == "CPointsMapXYZIRT" else None,
+                time=time if cls == "CPointsMapXYZIRT" else None,
+            )
             if self.target_layer in mm.layers:
                 other = MetricMap()
                 other.layers[self.target_layer] = pc

@@ -65,5 +65,32 @@ class FilterMerge(FilterBase):
         n_new = jnp.minimum(
             target.count + src.count, jnp.asarray(C, jnp.int32)
         )
-        out[self.target_layer] = PointCloud(xyz=new_xyz, count=n_new)
+
+        # per-point channels ride the same scatter (the reference's
+        # insertAnotherMap copies full point records) — a channel present
+        # on either side is kept, zero-filled where the other lacks it
+        def merge_ch(t_ch, s_ch):
+            if t_ch is None and s_ch is None:
+                return None
+            t = (
+                t_ch if t_ch is not None
+                else jnp.zeros((C,), jnp.float32)
+            )
+            s = (
+                s_ch if s_ch is not None
+                else jnp.zeros((src.capacity,), jnp.float32)
+            )
+            return (
+                jnp.concatenate([t, jnp.zeros((1,), t.dtype)])
+                .at[dest]
+                .set(s)[:C]
+            )
+
+        out[self.target_layer] = PointCloud(
+            xyz=new_xyz,
+            count=n_new,
+            intensity=merge_ch(target.intensity, src.intensity),
+            ring=merge_ch(target.ring, src.ring),
+            time=merge_ch(target.time, src.time),
+        )
         return out

@@ -73,11 +73,20 @@ class FilterVoxelSlice(FilterBase):
         res = vg.resolution
         n = int(round(2 * self.grid_half_extent / res))
         zc = vg.keys[:, 2].astype(jnp.float32) * res
-        in_slice = vg.valid & (zc >= self.slice_z_min) & (zc < self.slice_z_max)
         half_cells = n // 2
-        gx = jnp.clip(vg.keys[:, 0] + half_cells, 0, n - 1)
-        gy = jnp.clip(vg.keys[:, 1] + half_cells, 0, n - 1)
-        flat = jnp.where(in_slice, gx * n + gy, n * n)
+        gx = vg.keys[:, 0] + half_cells
+        gy = vg.keys[:, 1] + half_cells
+        # voxels outside the grid extent are DROPPED, not clamped onto the
+        # border cells (clamping painted far-away occupancy on the edge)
+        in_grid = (gx >= 0) & (gx < n) & (gy >= 0) & (gy < n)
+        in_slice = (
+            vg.valid & in_grid
+            & (zc >= self.slice_z_min) & (zc < self.slice_z_max)
+        )
+        flat = jnp.where(
+            in_slice, jnp.clip(gx, 0, n - 1) * n + jnp.clip(gy, 0, n - 1),
+            n * n,
+        )
         grid = (
             jnp.full((n * n + 1,), 0.5, jnp.float32)
             .at[flat]

@@ -64,6 +64,11 @@ def parse_float_table(text: bytes) -> np.ndarray:
     if lib is None:
         import io
 
+        # the native strtof loop treats commas as separators; np.loadtxt's
+        # default is whitespace-only, so normalise before falling back or
+        # comma-separated tables parse on one path and crash on the other
+        if b"," in text:
+            text = text.replace(b",", b" ")
         return np.loadtxt(io.BytesIO(text), dtype=np.float32, ndmin=2)
     n_bytes = len(text)
     cols = lib.detect_columns(text, n_bytes)

@@ -42,8 +42,13 @@ def masked_mean_cov(points: jax.Array, mask: jax.Array):
     n = jnp.sum(w, axis=-1)
     n_safe = jnp.maximum(n, 1.0)
     mean = jnp.sum(points * w[..., None], axis=-2) / n_safe[..., None]
-    centered = (points - mean[..., None, :]) * w[..., None]
-    cov = jnp.einsum("...ki,...kj->...ij", centered, centered) / n_safe[..., None, None]
+    centered = points - mean[..., None, :]
+    # weight ONE factor of the outer product: cov = sum w (p-m)(p-m)^T / sum w
+    # (weighting both factors would square float weights; bool masks are
+    # unaffected since w^2 == w there)
+    cov = jnp.einsum(
+        "...k,...ki,...kj->...ij", w, centered, centered
+    ) / n_safe[..., None, None]
     return mean, cov, n
 
 

@@ -43,7 +43,14 @@ class NNResult(NamedTuple):
 
 
 def _gather_candidates(grid: HashGrid, queries: jax.Array, k_per_cell: int):
-    """Candidate rows for each query: [Q, 27*k_per_cell] sorted-row indices
+    """LEGACY grid path (production matchers use ops.nn_bruteforce; this
+    module survives for the voxel-hash tests). Known limitation: when two
+    of the 27 neighbour cells hash-collide into one bucket their candidate
+    rows are gathered twice, and the k>1 top_k below has no dedup — a
+    duplicated neighbour can occupy two ranks. The exact MXU brute-force
+    path has no such artefact.
+
+    Candidate rows for each query: [Q, 27*k_per_cell] sorted-row indices
     + validity mask."""
     H = grid.bucket_start.shape[0]
     qcells = cell_coords(queries, grid.cell_size)  # [Q, 3]

@@ -126,7 +126,8 @@ def _nnk_kernel_gridless(qaug_ref, paug_ref, bestd_ref, besti_ref,
     k-list — k=8 costs ~the same MXU time as k=1, where the previous
     design paid k full distance-matmul sweeps (VERDICT r1 Weak #6).
 
-    The coordinate blocks are BF16 HI/MID/LO SPLITS (see _augment_bf16):
+    The coordinate blocks are BF16 HI/MID/LO SPLITS (_augment_q/_augment_p;
+    _augment_bf16 composes both for probes):
     the MXU charges one full pass per 128x128 output tile regardless of the
     contraction size K, and an f32 matmul costs ~3x the bf16 passes — so an
     f32 K=8 distance matmul wastes ~3x the MXU time of a bf16 K=32 one that

@@ -283,7 +283,22 @@ _QUALITY: Dict[str, Callable] = {
         voxel_layer_name=p.get("voxel_layer_name", "voxelmap"),
         dist2quality_scale=float(_num(p.get("dist2quality_scale", 2.0))),
     ),
-    "QualityEvaluator_RangeImageSimilarity": lambda p: QualityRangeImageSimilarity(),
+    # reference initialize() (QualityEvaluator_RangeImageSimilarity.cpp:
+    # 29-41): ncols/nrows/cx/cy/fx/fy required, sigma/penalty optional
+    "QualityEvaluator_RangeImageSimilarity": lambda p: (
+        QualityRangeImageSimilarity(
+            ncols=int(_num(p.get("ncols", 100))),
+            nrows=int(_num(p.get("nrows", 60))),
+            cx=float(_num(p.get("cx", 50.0))),
+            cy=float(_num(p.get("cy", 30.0))),
+            fx=float(_num(p.get("fx", 50.0))),
+            fy=float(_num(p.get("fy", 50.0))),
+            sigma=float(_num(p.get("sigma", 0.1))),
+            penalty_not_visible=float(
+                _num(p.get("penalty_not_visible", 0.1))
+            ),
+        )
+    ),
 }
 
 
@@ -362,11 +377,20 @@ def _build_filter_deskew(p: dict, variables=None):
 
 
 def _build_filter_merge(p: dict, variables=None):
+    # reference semantics (FilterMerge.cpp:96-108): the robot-pose
+    # transform applies ONLY when input_layer_in_local_coordinates=true
+    # (default FALSE) — for an already-global input layer the insertAnother
+    # Map(-robotPose) and insertObservation(robotPose) cancel to identity.
+    # The old builder defaulted to transforming, double-applying the
+    # keyframe pose to world-frame layers.
     return FilterMerge(
         input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),
         target_layer=p.get("target_layer", "map"),
         target_capacity=int(_num(p.get("target_capacity", 1 << 20))),
-        use_robot_pose="robot_pose" in p or bool(p.get("use_robot_pose", True)),
+        use_robot_pose=bool(
+            p.get("input_layer_in_local_coordinates",
+                  p.get("use_robot_pose", False))
+        ),
     )
 
 
@@ -576,11 +600,27 @@ def icp_pipeline_from_yaml(
 
     matchers = build_list("matchers", _MATCHERS, "matcher")
     solvers = build_list("solvers", _SOLVERS, "solver")
-    quality = build_list("quality", _QUALITY, "quality evaluator")
-    if not quality:
-        quality = [QualityPairedRatio()]
 
-    icp = ICP(matchers=matchers, solvers=solvers, quality_evaluators=quality)
+    # quality entries additionally carry per-evaluator 'enabled' and
+    # 'weight' at the ENTRY level (reference: ICP.cpp:565-599 —
+    # enabled:false skips the evaluator, weight feeds the weighted sum)
+    quality, q_weights = [], []
+    for entry in cfg.get("quality", []) or []:
+        if entry.get("enabled", True) is False:
+            continue
+        cls = _short(str(entry.get("class")))
+        if cls not in _QUALITY:
+            raise ValueError(f"Unknown quality evaluator class: {cls}")
+        params_dict = entry.get("params", {}) or {}
+        if params_dict is None or params_dict == "~":
+            params_dict = {}
+        quality.append(_QUALITY[cls](params_dict))
+        q_weights.append(float(_num(entry.get("weight", 1.0))))
+    if not quality:
+        quality, q_weights = [QualityPairedRatio()], [1.0]
+
+    icp = ICP(matchers=matchers, solvers=solvers,
+              quality_evaluators=quality, quality_weights=q_weights)
     return icp, params
 
 

@@ -90,8 +90,10 @@ class QualityRangeImageSimilarity:
         I21 = proj(local_in_g, lv)
         I12 = proj(global_in_l, gv)
         I22 = proj(local_pc.xyz, lv)
-        q = 0.5 * (_score_images(I11, I21, self.sigma)
-                   + _score_images(I12, I22, self.sigma))
+        q = 0.5 * (
+            _score_images(I11, I21, self.sigma, self.penalty_not_visible)
+            + _score_images(I12, I22, self.sigma, self.penalty_not_visible)
+        )
         return QualityResult(quality=q, hard_discard=jnp.asarray(False))
 
     def evaluate(self, pairings, grids=None, global_map=None, local_map=None,

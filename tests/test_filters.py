@@ -330,3 +330,99 @@ class TestDeskewTrajectory:
             out.to_numpy()[0], [-0.2, 0, 0], atol=5e-3
         )
         np.testing.assert_allclose(out.to_numpy()[1], [5, 0, 0], atol=5e-3)
+
+
+class TestRangeImageEdgeDefaults:
+    def test_default_threshold_is_reachable(self):
+        """The reference default score_threshold=10 must be attainable
+        (the old sign-sum score was bounded by 2*window=8 -> an
+        always-empty edges layer with default params) and flat integer
+        regions must be rejected via the var==0 path."""
+        from mp2p_icp_tpu.filters.edge_generators import (
+            GeneratorEdgesFromRangeImage,
+        )
+        from tests.test_filters import cloud
+
+        n = 64
+        rng_vals = np.concatenate([np.full(n // 2, 5.0), np.full(n // 2, 10.0)])
+        ang = np.linspace(0, np.pi / 4, n)
+        xyz = np.stack(
+            [rng_vals * np.cos(ang), rng_vals * np.sin(ang), np.zeros(n)], 1
+        ).astype(np.float32)
+        pc = cloud(xyz, ring=np.zeros(n))
+        out = GeneratorEdgesFromRangeImage()({"raw": pc})  # DEFAULT params
+        e = out["edges"].to_numpy()
+        assert len(e) >= 1  # the jump is detected at threshold 10
+        # all detections hug the discontinuity (none in the flat interior)
+        r_of_e = np.linalg.norm(e, axis=1)
+        assert ((np.abs(r_of_e - 5) < 0.2) | (np.abs(r_of_e - 10) < 0.2)).all()
+
+        flat = cloud(xyz[: n // 2], ring=np.zeros(n // 2))
+        out2 = GeneratorEdgesFromRangeImage()({"raw": flat})
+        assert out2["edges"].to_numpy().shape[0] == 0  # var==0 everywhere
+
+
+class TestChannelPreservation:
+    """I/R/T channels must survive merges (reference merge_with /
+    insertAnotherMap copy full point records)."""
+
+    def test_metric_map_merge_keeps_channels(self):
+        from mp2p_icp_tpu.core.metric_map import MetricMap
+
+        a = MetricMap()
+        a.layers["raw"] = cloud(
+            [[0, 0, 0], [1, 0, 0]], intensity=[0.5, 0.6],
+            ring=[1, 2], time=[0.1, 0.2],
+        )
+        b = MetricMap()
+        b.layers["raw"] = cloud(
+            [[2, 0, 0]], intensity=[0.9], ring=[3], time=[0.3],
+        )
+        a.merge_with(b)
+        pc = a.layers["raw"]
+        assert pc.intensity is not None and pc.ring is not None
+        n = int(pc.count)
+        assert n == 3
+        np.testing.assert_allclose(
+            np.asarray(pc.intensity[:n]), [0.5, 0.6, 0.9]
+        )
+        np.testing.assert_allclose(np.asarray(pc.ring[:n]), [1, 2, 3])
+        np.testing.assert_allclose(
+            np.asarray(pc.time[:n]), [0.1, 0.2, 0.3]
+        )
+
+    def test_filter_merge_keeps_channels(self):
+        from mp2p_icp_tpu.filters.merge import FilterMerge
+
+        src = cloud([[0, 0, 0], [1, 0, 0]], intensity=[0.7, 0.8])
+        tgt = cloud([[5, 0, 0]], intensity=[0.1])
+        f = FilterMerge(input_pointcloud_layer="raw", target_layer="map")
+        out = f({"raw": src, "map": tgt})
+        m = out["map"]
+        assert m.intensity is not None
+        n = int(m.count)
+        assert n == 3
+        got = sorted(np.asarray(m.intensity[:n]).tolist())
+        assert np.allclose(got, [0.1, 0.7, 0.8])
+
+
+class TestDecimateBypassCapacities:
+    def test_bypass_works_with_mismatched_capacities(self):
+        from mp2p_icp_tpu.filters.decimate_voxels import FilterDecimateVoxels
+
+        pts = np.random.RandomState(0).rand(20, 3).astype(np.float32) * 5
+        pc = PointCloud.from_numpy(pts, capacity=64)
+        f = FilterDecimateVoxels(
+            input_pointcloud_layer=("raw",),
+            output_pointcloud_layer="decimated",
+            voxel_filter_resolution=1.0,
+            minimum_input_points_to_filter=100,  # 20 < 100 -> passthrough
+            output_capacity=256,  # != input capacity 64
+        )
+        out = f({"raw": pc})
+        dec = out["decimated"]
+        assert int(dec.count) == 20  # copied through, NOT decimated
+        np.testing.assert_allclose(
+            np.sort(dec.to_numpy(), axis=0), np.sort(pts, axis=0),
+            rtol=1e-6,
+        )

@@ -182,7 +182,7 @@ class TestApps:
                             "params": {
                                 "input_pointcloud_layer": "raw",
                                 "target_layer": "map",
-                                "robot_pose": True,
+                                "input_layer_in_local_coordinates": True,
                             },
                         }
                     ]

@@ -87,7 +87,7 @@ filters:
     params:
       input_pointcloud_layer: 'raw'
       target_layer: 'map'
-      robot_pose: true
+      input_layer_in_local_coordinates: true
 final_filters:
   - class_name: mp2p_icp_filters::FilterDecimateVoxels
     params:
