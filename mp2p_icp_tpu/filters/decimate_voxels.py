@@ -56,7 +56,6 @@ class FilterDecimateVoxels(FilterBase):
         inputs = [layers[name] for name in self.input_pointcloud_layer]
         xyz = jnp.concatenate([pc.xyz for pc in inputs], axis=0)
         valid = jnp.concatenate([pc.valid_mask() for pc in inputs], axis=0)
-        total = sum((pc.count for pc in inputs), jnp.asarray(0, jnp.int32))
 
         if self.flatten_to is not None:
             xyz = jnp.where(
@@ -67,8 +66,30 @@ class FilterDecimateVoxels(FilterBase):
 
         C = xyz.shape[0]
         out_cap = self.output_capacity or C
+
+        # PER-MAP bypass (reference FilterDecimateVoxels.cpp:158-192): an
+        # input map with size <= minimum is copied through VERBATIM and
+        # excluded from the voxel filter; larger maps decimate as usual.
+        min_pts = self.minimum_input_points_to_filter
+        bypass_pt = None
+        valid_decim = valid
+        if min_pts > 0:
+            if len(inputs) * min_pts > out_cap:
+                raise ValueError(
+                    "minimum_input_points_to_filter bypass could overflow "
+                    f"output_capacity: {len(inputs)} input layer(s) x "
+                    f"minimum {min_pts} > output_capacity {out_cap} — the "
+                    "reference copies every below-minimum map verbatim, so "
+                    "size output_capacity accordingly"
+                )
+            bypass_pt = jnp.concatenate([
+                jnp.broadcast_to(pc.count <= min_pts, (pc.capacity,))
+                for pc in inputs
+            ])
+            valid_decim = valid & ~bypass_pt
+
         segs = voxel_segments(
-            xyz, valid, self.voxel_filter_resolution,
+            xyz, valid_decim, self.voxel_filter_resolution,
             flatten_z=self.flatten_to is not None,
         )
         xyz_sorted = xyz[segs.order]
@@ -128,54 +149,51 @@ class FilterDecimateVoxels(FilterBase):
                 time=self._gather_channel(pc0.time, src, take, out_valid, C),
             )
 
-        # bypass: too few input points -> copy input through
-        # (reference: minimum_input_points_to_filter)
-        if self.minimum_input_points_to_filter > 0:
-            if len(inputs) != 1:
-                raise ValueError(
-                    "minimum_input_points_to_filter bypass needs exactly "
-                    "one input layer (the passthrough source is ambiguous "
-                    "otherwise)"
-                )
-            bypass = total < self.minimum_input_points_to_filter
-            pc0 = inputs[0]
+        # append the BYPASSED maps' points verbatim after the decimated
+        # block (reference inserts them into the same output cloud,
+        # FilterDecimateVoxels.cpp:168-186); channels ride along. Works
+        # for any capacity pairing — it used to be silently skipped
+        # unless the capacities happened to match.
+        if bypass_pt is not None:
+            byp = valid & bypass_pt
+            rank = jnp.cumsum(byp.astype(jnp.int32)) - 1
+            dest = jnp.where(byp, out.count + rank, out_cap)
+            dest = jnp.clip(dest, 0, out_cap)
+            n_byp = jnp.sum(byp.astype(jnp.int32))
+            new_xyz = (
+                jnp.concatenate(
+                    [out.xyz,
+                     jnp.zeros((1, 3), out.xyz.dtype)]
+                ).at[dest].set(xyz)[:out_cap]
+            )
 
-            # statically resize the input to out_cap so the bypass works
-            # for ANY capacity pairing (it used to be silently skipped
-            # unless the capacities happened to match)
-            def fit(arr, fill):
-                if arr.shape[0] >= out_cap:
-                    return arr[:out_cap]
-                pad_shape = (out_cap - arr.shape[0],) + arr.shape[1:]
-                return jnp.concatenate(
-                    [arr, jnp.full(pad_shape, fill, arr.dtype)]
-                )
-
-            def fit_ch(src_ch, out_ch):
-                if src_ch is None and out_ch is None:
+            def append_ch(out_ch, chs):
+                if out_ch is None and all(c is None for c in chs):
                     return None
-                s = (
-                    fit(src_ch, 0.0) if src_ch is not None
-                    else jnp.zeros((out_cap,), jnp.float32)
-                )
                 o = (
                     out_ch if out_ch is not None
                     else jnp.zeros((out_cap,), jnp.float32)
                 )
-                return jnp.where(bypass, s, o)
+                s = jnp.concatenate([
+                    c if c is not None
+                    else jnp.zeros((pc.capacity,), jnp.float32)
+                    for pc, c in zip(inputs, chs)
+                ])
+                return (
+                    jnp.concatenate([o, jnp.zeros((1,), o.dtype)])
+                    .at[dest].set(s)[:out_cap]
+                )
 
             out = PointCloud(
-                xyz=jnp.where(
-                    bypass, fit(pc0.xyz, PointCloud.PAD_VALUE), out.xyz
+                xyz=new_xyz,
+                count=jnp.minimum(
+                    out.count + n_byp, jnp.asarray(out_cap, jnp.int32)
                 ),
-                count=jnp.where(
-                    bypass,
-                    jnp.minimum(pc0.count, jnp.asarray(out_cap, jnp.int32)),
-                    out.count,
+                intensity=append_ch(
+                    out.intensity, [pc.intensity for pc in inputs]
                 ),
-                intensity=fit_ch(pc0.intensity, out.intensity),
-                ring=fit_ch(pc0.ring, out.ring),
-                time=fit_ch(pc0.time, out.time),
+                ring=append_ch(out.ring, [pc.ring for pc in inputs]),
+                time=append_ch(out.time, [pc.time for pc in inputs]),
             )
 
         new_layers = dict(layers)

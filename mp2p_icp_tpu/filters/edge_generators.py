@@ -77,18 +77,29 @@ class GeneratorEdgesFromRangeImage(FilterBase):
     input_pointcloud_layer: str = "raw"
     target_layer: str = "edges"
     score_threshold: int = 10
-    window: int = 4  # half-window W of the row-diff stats (reference: 2W+1)
+    window: int = 8  # half-window W (reference: BLOCK_BITS=3 -> W=8)
+    # metres per integer range unit: the reference scores the sensor's
+    # INTEGER rangeImage (sensor-specific resolution); 1 cm is a typical
+    # LiDAR range quantisation
+    range_resolution: float = 0.01
 
     def __call__(self, layers: Dict[str, PointCloud], variables=None):
-        """Reference scoring (GeneratorEdgesFromRangeImage.cpp:100-143):
-        per row, the (2W+1)-window mean/variance of the RANGE DIFFS around
-        i, then score^2 = (range_i - mean_diff)^2 / var — edge when
-        score^2 > score_threshold and var > 0. The ratio is scale-free, so
-        float metres match the reference's fixed-point sensor units; ranges
-        are quantised to integer mm so a perfectly flat integer window
-        yields the reference's exact var == 0 rejection (the previous
-        sign-sum score was bounded by 2*window = 8 and could NEVER reach
-        the default threshold 10 — an always-empty edges layer)."""
+        """LITERAL reference scoring (GeneratorEdgesFromRangeImage.cpp:
+        83-143 with calcStats :39-60): per row, over the 2W+1 fixed-point
+        RANGE DIFFS around i, mean = sum/(N-1) and var = sum_sq_dev/(N-1)
+        (the reference's N-1 divisors, kept verbatim); then
+
+            score = (range_i - mean_diff)^2 / var  >>  2*FIXED_POINT_BITS
+
+        i.e. /65536 — an edge when score > score_threshold and var > 0.
+        Note the reference compares the RANGE ITSELF against the windowed
+        diff statistics (:127-130), so the score behaves as a
+        range-vs-local-noise significance (fires where range >> 256 *
+        diff-sigma) and var == 0 (integer-exact flat windows) never fires;
+        replicated verbatim for parity, quirk and all. Ranges quantise to
+        integer units of ``range_resolution`` like the sensor's rangeImage.
+        (The previous sign-sum score was bounded by 2*window = 8 and could
+        NEVER reach the default threshold 10 — an always-empty layer.)"""
         pc = layers[self.input_pointcloud_layer]
         if pc.ring is None:
             raise ValueError(
@@ -100,32 +111,37 @@ class GeneratorEdgesFromRangeImage(FilterBase):
         valid = pc.valid_mask()
         ring = pc.ring.astype(jnp.int32)
         idx = jnp.arange(C)
-        r_mm = jnp.round(jnp.linalg.norm(pc.xyz, axis=-1) * 1000.0)
+        r_u = jnp.round(
+            jnp.linalg.norm(pc.xyz, axis=-1) / self.range_resolution
+        )
         prev = jnp.clip(idx - 1, 0, C - 1)
-        d = r_mm - r_mm[prev]  # diff at i (vs previous column in the row)
+        d = r_u - r_u[prev]  # diff at i (vs previous column in the row)
         d_ok = (ring[prev] == ring) & valid[prev] & valid
 
         # windowed stats over d[i-W .. i+W]; reference requires the FULL
         # window inside the row (i in [1+W, nCols-W))
         sum_d = jnp.zeros((C,), jnp.float32)
         full = jnp.ones((C,), bool)
-        offs = list(range(-W, W + 1))
-        js = [jnp.clip(idx + s, 0, C - 1) for s in offs]
+        js = [jnp.clip(idx + s, 0, C - 1) for s in range(-W, W + 1)]
         for j in js:
             ok = d_ok[j] & (ring[j] == ring)
             full = full & ok
             sum_d = sum_d + d[j]
-        mean = sum_d / n
-        # two-pass variance: deviations are small, so f32 stays exact
-        # enough that an all-equal integer window gives var ~ 0 while the
-        # smallest real integer variance is (n-1)/n^2 ~ 0.1
+        mean = sum_d / (n - 1)  # reference calcStats: sum/(N-1)
+        # two-pass variance (deviations are small -> f32-exact enough that
+        # an all-equal integer window gives var ~ 0, while the smallest
+        # real integer variance is 1/(n-1))
         var = jnp.zeros((C,), jnp.float32)
         for j in js:
             var = var + (d[j] - mean) ** 2
-        var = var / n
-        has_var = var > 0.05  # reference: rdVar == 0 -> never an edge
-        score_sq = jnp.where(has_var, (r_mm - mean) ** 2 / jnp.maximum(var, 1e-9), 0.0)
-        is_edge = valid & full & has_var & (score_sq > self.score_threshold)
+        var = var / (n - 1)
+        has_var = var > 0.03  # reference: rdVar == 0 -> never an edge
+        score = jnp.where(
+            has_var,
+            (r_u - mean) ** 2 / jnp.maximum(var, 1e-9) / 65536.0,
+            0.0,
+        )
+        is_edge = valid & full & has_var & (score > self.score_threshold)
         out = dict(layers)
         out[self.target_layer] = compact(pc, is_edge)
         return out

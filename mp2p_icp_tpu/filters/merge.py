@@ -26,7 +26,10 @@ class FilterMerge(FilterBase):
     input_pointcloud_layer: str = "raw"
     target_layer: str = "map"
     target_capacity: int = 1 << 20  # used when the target doesn't exist yet
-    use_robot_pose: bool = True
+    # reference default: input_layer_in_local_coordinates = false
+    # (FilterMerge.cpp:96-108) — an already-world-frame input must NOT be
+    # transformed by the robot pose; set True only for vehicle-frame inputs
+    use_robot_pose: bool = False
 
     def __call__(self, layers: Dict[str, PointCloud], variables=None):
         src = layers[self.input_pointcloud_layer]

@@ -455,11 +455,15 @@ class ICP:
                     carry.pose, carry.iteration, gidx_maps
                 )
                 no_pairs = pairings.size() == 0
-                # the reference's sc.lastIcpStepIncrement: the translation
-                # norm of the previous iteration's step (rotation preserves
-                # norms, so |t_i - t_{i-1}| equals the relative-pose
-                # translation norm); unset (has_step=False) at iteration 0
-                step_trans, _ = se3.delta_norms(carry.prev_pose, carry.pose)
+                # the reference's sc.lastIcpStepIncrement test
+                # (Solver.cpp:52): the RAW translation norm of the relative
+                # pose prev^-1 * cur — |R_prev^T (t_i - t_{i-1})| =
+                # |t_i - t_{i-1}| (rotation preserves norms), NOT the
+                # SE(3)-log translation (which differs under large
+                # rotation steps); unset (has_step=False) at iteration 0
+                step_trans = jnp.linalg.norm(
+                    carry.pose.t - carry.prev_pose.t
+                )
                 has_step = carry.iteration > 0
                 new_pose, solver_finished = self._run_solvers(
                     pairings, carry.pose, carry.iteration, step_trans,

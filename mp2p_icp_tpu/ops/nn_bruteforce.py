@@ -615,7 +615,11 @@ def knn_bruteforce(
         # sweep) but doubles the [block_c, Qp] VMEM distance tile — use it
         # only when tile + point blocks comfortably fit ~16 MB VMEM.
         # (block_c=64 fails to compile on this image's Mosaic — keep >=128.)
-        block_c = 256 if (Qp <= 8192 and C <= 32768) else 128
+        # the query-axis slabbing below caps every kernel's tile at
+        # [block_c, 8192], so only the POINT count governs the block
+        # choice — a slabbed (Q > 8192) sweep against a small map still
+        # earns the ~15%-faster 256 block
+        block_c = 256 if C <= 32768 else 128
         # query-axis slabbing: the [block_c, Qp] f32 distance tile grows
         # with Qp (8192 x 256 x 4 B = 8.4 MB, the largest proven-compiling
         # tile here) — a 16k+-point local layer would blow the VMEM budget

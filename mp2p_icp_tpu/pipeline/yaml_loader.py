@@ -606,7 +606,7 @@ def icp_pipeline_from_yaml(
     # enabled:false skips the evaluator, weight feeds the weighted sum)
     quality, q_weights = [], []
     for entry in cfg.get("quality", []) or []:
-        if entry.get("enabled", True) is False:
+        if not entry.get("enabled", True):  # as<bool>() coercion: 0/false
             continue
         cls = _short(str(entry.get("class")))
         if cls not in _QUALITY:

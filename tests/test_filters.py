@@ -223,7 +223,8 @@ class TestTimestamps:
 class TestMergeDelete:
     def test_merge_with_robot_pose(self):
         scan = cloud([[1, 0, 0], [2, 0, 0]])
-        f = FilterMerge(target_layer="map", target_capacity=256)
+        f = FilterMerge(target_layer="map", target_capacity=256,
+                        use_robot_pose=True)  # vehicle-frame input
         layers = f({"raw": scan}, variables={"robot_x": 10.0})
         assert int(layers["map"].count) == 2
         np.testing.assert_allclose(
@@ -282,22 +283,35 @@ class TestEdgeGenerators:
             GeneratorEdgesFromRangeImage,
         )
 
-        # one ring: constant range then a jump (a wall corner)
+        # literal reference semantics (GeneratorEdgesFromRangeImage.cpp:
+        # 127-130): score = (range_i - mean_diff)^2 / var_diff / 65536 --
+        # fires where the RANGE dwarfs the windowed diff noise (range >>
+        # 256 * sigma). A far ring with ~1-unit range noise scores
+        # ~(5000^2/var)/65536 >> 10; a near ring with the same noise
+        # scores < 10; an exactly flat ring has var == 0 and never fires.
         n = 64
-        rng_vals = np.concatenate([np.full(n // 2, 5.0), np.full(n // 2, 10.0)])
+        rng = np.random.RandomState(4)
         ang = np.linspace(0, np.pi / 4, n)
-        xyz = np.stack(
-            [rng_vals * np.cos(ang), rng_vals * np.sin(ang), np.zeros(n)], 1
-        ).astype(np.float32)
-        pc = cloud(xyz, ring=np.zeros(n))
-        g = GeneratorEdgesFromRangeImage(target_layer="edges",
-                                         score_threshold=4, window=4)
-        out = g({"raw": pc})
-        e = out["edges"].to_numpy()
-        assert len(e) >= 1
-        # edges concentrate near the discontinuity index n//2
-        r_of_e = np.linalg.norm(e, axis=1)
-        assert ((np.abs(r_of_e - 5) < 0.1) | (np.abs(r_of_e - 10) < 0.1)).all()
+
+        def ring_at(r0, noise):
+            r = r0 + noise * rng.randn(n)
+            return np.stack(
+                [r * np.cos(ang), r * np.sin(ang), np.zeros(n)], 1
+            ).astype(np.float32)
+
+        g = GeneratorEdgesFromRangeImage()  # defaults: thr 10, W=8, 1 cm
+        # far ring, ~1.5 cm noise -> significant at 50 m
+        far = cloud(ring_at(50.0, 0.015), ring=np.zeros(n))
+        e_far = g({"raw": far})["edges"].to_numpy()
+        assert len(e_far) > 10, len(e_far)
+        # same noise at 2 m -> below threshold
+        near = cloud(ring_at(2.0, 0.015), ring=np.zeros(n))
+        e_near = g({"raw": near})["edges"].to_numpy()
+        assert len(e_near) == 0, len(e_near)
+        # exactly flat -> integer var == 0 -> never an edge
+        flat = cloud(ring_at(50.0, 0.0), ring=np.zeros(n))
+        e_flat = g({"raw": flat})["edges"].to_numpy()
+        assert len(e_flat) == 0, len(e_flat)
 
 
 class TestDeskewTrajectory:
@@ -330,36 +344,6 @@ class TestDeskewTrajectory:
             out.to_numpy()[0], [-0.2, 0, 0], atol=5e-3
         )
         np.testing.assert_allclose(out.to_numpy()[1], [5, 0, 0], atol=5e-3)
-
-
-class TestRangeImageEdgeDefaults:
-    def test_default_threshold_is_reachable(self):
-        """The reference default score_threshold=10 must be attainable
-        (the old sign-sum score was bounded by 2*window=8 -> an
-        always-empty edges layer with default params) and flat integer
-        regions must be rejected via the var==0 path."""
-        from mp2p_icp_tpu.filters.edge_generators import (
-            GeneratorEdgesFromRangeImage,
-        )
-        from tests.test_filters import cloud
-
-        n = 64
-        rng_vals = np.concatenate([np.full(n // 2, 5.0), np.full(n // 2, 10.0)])
-        ang = np.linspace(0, np.pi / 4, n)
-        xyz = np.stack(
-            [rng_vals * np.cos(ang), rng_vals * np.sin(ang), np.zeros(n)], 1
-        ).astype(np.float32)
-        pc = cloud(xyz, ring=np.zeros(n))
-        out = GeneratorEdgesFromRangeImage()({"raw": pc})  # DEFAULT params
-        e = out["edges"].to_numpy()
-        assert len(e) >= 1  # the jump is detected at threshold 10
-        # all detections hug the discontinuity (none in the flat interior)
-        r_of_e = np.linalg.norm(e, axis=1)
-        assert ((np.abs(r_of_e - 5) < 0.2) | (np.abs(r_of_e - 10) < 0.2)).all()
-
-        flat = cloud(xyz[: n // 2], ring=np.zeros(n // 2))
-        out2 = GeneratorEdgesFromRangeImage()({"raw": flat})
-        assert out2["edges"].to_numpy().shape[0] == 0  # var==0 everywhere
 
 
 class TestChannelPreservation:
@@ -426,3 +410,49 @@ class TestDecimateBypassCapacities:
             np.sort(dec.to_numpy(), axis=0), np.sort(pts, axis=0),
             rtol=1e-6,
         )
+
+
+class TestDecimatePerMapBypass:
+    def test_mixed_bypass_and_filter(self):
+        """Reference FilterDecimateVoxels.cpp:158-192: with several input
+        maps, each map <= minimum is copied VERBATIM while larger maps
+        still decimate — per-map decision, not all-or-nothing."""
+        from mp2p_icp_tpu.filters.decimate_voxels import FilterDecimateVoxels
+
+        rng = np.random.RandomState(1)
+        big = rng.rand(200, 3).astype(np.float32) * 3  # decimates to voxels
+        small = (rng.rand(5, 3).astype(np.float32) * 3 + 100)  # bypassed
+        f = FilterDecimateVoxels(
+            input_pointcloud_layer=("big", "small"),
+            output_pointcloud_layer="out",
+            voxel_filter_resolution=1.0,
+            minimum_input_points_to_filter=10,
+            output_capacity=256,
+        )
+        out = f({
+            "big": PointCloud.from_numpy(big, capacity=256),
+            "small": PointCloud.from_numpy(small, capacity=8),
+        })["out"]
+        pts = out.to_numpy()
+        # every small-map point present verbatim
+        for p in small:
+            assert any(np.allclose(p, q, atol=1e-6) for q in pts)
+        # big map decimated: one representative per occupied voxel
+        n_vox = len(np.unique(np.floor(big / 1.0).astype(int), axis=0))
+        assert int(out.count) == n_vox + 5, (int(out.count), n_vox)
+
+    def test_boundary_exactly_minimum_is_bypassed(self):
+        """size == minimum is copied through (reference filters only when
+        size() > minimum)."""
+        from mp2p_icp_tpu.filters.decimate_voxels import FilterDecimateVoxels
+
+        pts = np.random.RandomState(2).rand(10, 3).astype(np.float32) * 3
+        f = FilterDecimateVoxels(
+            input_pointcloud_layer=("raw",),
+            output_pointcloud_layer="out",
+            voxel_filter_resolution=1.0,
+            minimum_input_points_to_filter=10,
+            output_capacity=64,
+        )
+        out = f({"raw": PointCloud.from_numpy(pts, capacity=16)})["out"]
+        assert int(out.count) == 10  # verbatim, not decimated
