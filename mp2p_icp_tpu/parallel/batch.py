@@ -15,12 +15,19 @@ import jax
 from mp2p_icp_tpu.icp import ICP, ICPParameters
 
 
-def make_batched_align(icp: ICP, params: ICPParameters):
+def make_batched_align(icp: ICP, params: ICPParameters,
+                       broadcast_globals: bool = False):
     """Returns a jitted function
         (batched_local_layers, batched_global_layers, batched_guess)
         -> batched ICPResults
     (same argument order as ICP.align); every array input carries a leading
-    batch axis."""
+    batch axis.
+
+    ``broadcast_globals=True`` shares ONE un-batched global map across the
+    whole batch (pass the plain layer dict, no leading axis) — the
+    multi-robot / multi-hypothesis localisation pattern: B scans register
+    against the same large map in one program, each with its own in-jit
+    bbox crop, without materialising B copies of the map in HBM."""
     matchers = tuple(icp.matchers)
 
     def single(l_layers, g_layers, guess):
@@ -29,7 +36,8 @@ def make_batched_align(icp: ICP, params: ICPParameters):
             params, matchers, g_layers, l_layers, guess, None
         )
 
-    return jax.jit(jax.vmap(single))
+    in_axes = (0, None, 0) if broadcast_globals else 0
+    return jax.jit(jax.vmap(single, in_axes=in_axes))
 
 
 def stack_pytrees(trees):

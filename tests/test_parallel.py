@@ -209,3 +209,55 @@ class TestBatchedMatchesSequential:
             np.asarray(res.iteration_poses.t[-1]),
             np.asarray(res.optimal_tf.t),
         )
+
+
+class TestBroadcastGlobals:
+    def test_shared_map_batch_matches_sequential(self):
+        """broadcast_globals=True: B scans against ONE un-batched shared
+        map (each with its own in-jit bbox crop) must equal per-scan
+        sequential aligns — the multi-robot localisation pattern."""
+        rng = np.random.RandomState(11)
+        scene = rng.uniform(-40, 40, (4096, 3)).astype(np.float32)
+        gmap = {"raw": PointCloud.from_numpy(scene, capacity=4096)}
+
+        B = 3
+        gts, locals_ = [], []
+        for b in range(B):
+            center = scene[rng.randint(0, scene.shape[0])]
+            m = np.linalg.norm(scene - center, axis=1) < 25.0
+            pts = scene[m][:512]
+            gt = se3.from_xyz_ypr(
+                0.3 + 0.1 * b, -0.2, 0.1, 0.04, -0.02, 0.01
+            )
+            loc = np.array(se3.apply(se3.inverse(gt), jnp.asarray(pts)))
+            locals_.append(
+                {"raw": PointCloud.from_numpy(loc, capacity=512)}
+            )
+            gts.append(gt)
+
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=2.0)],
+            solvers=[SolverHorn()],
+        )
+        params = ICPParameters(
+            max_iterations=10, crop_capacity=2048, crop_extra_margin=2.0
+        )
+        l_b = stack_pytrees(locals_)
+        u_b = stack_pytrees([se3.identity() for _ in range(B)])
+
+        fn = make_batched_align(icp, params, broadcast_globals=True)
+        res_b = fn(l_b, gmap, u_b)
+
+        for b in range(B):
+            res_s = icp.align(locals_[b], gmap, se3.identity(), params)
+            np.testing.assert_allclose(
+                np.asarray(res_s.optimal_tf.t),
+                np.asarray(res_b.optimal_tf.t[b]),
+                atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res_s.optimal_tf.R),
+                np.asarray(res_b.optimal_tf.R[b]),
+                atol=1e-5,
+            )
+            assert float(se3.error_log_norm(gts[b], res_s.optimal_tf)) < 0.05
