@@ -415,7 +415,7 @@ def main():
                     make_batched_align, stack_pytrees,
                 )
 
-                s2m_b = 8
+                s2m_b = int(os.environ.get("MP2P_BENCH_S2M_B", "8"))
                 rngb = np.random.RandomState(35)
                 lm_bs, guesses, gts_b = [], [], []
                 for b in range(s2m_b):
