@@ -409,60 +409,71 @@ def main():
             # BATCHED scan-to-map: B scans register against the ONE shared
             # 1M-point map in a single vmapped program (per-scan in-jit
             # crops; the map is broadcast, not copied) — the multi-robot /
-            # multi-hypothesis localisation pattern
-            if os.environ.get("MP2P_BENCH_SCAN2MAP_BATCHED", "1") == "1":
-                from mp2p_icp_tpu.parallel.batch import (
-                    make_batched_align, stack_pytrees,
-                )
+            # multi-hypothesis localisation pattern. Own try/except so a
+            # failure here cannot skip the later scan2map benches
+            # (ADVICE r3).
+            try:
+                if os.environ.get("MP2P_BENCH_SCAN2MAP_BATCHED", "1") == "1":
+                    from mp2p_icp_tpu.parallel.batch import (
+                        make_batched_align, stack_pytrees,
+                    )
 
-                s2m_b = int(os.environ.get("MP2P_BENCH_S2M_B", "8"))
-                rngb = np.random.RandomState(35)
-                lm_bs, guesses, gts_b = [], [], []
-                for b in range(s2m_b):
-                    cx = 60.0 + 280.0 * b / (s2m_b - 1)
-                    sc = local_window(
-                        corridor[: 1 << 20], cx,
-                        np.random.RandomState(100 + b),
+                    s2m_b = int(os.environ.get("MP2P_BENCH_S2M_B", "8"))
+                    rngb = np.random.RandomState(35)
+                    lm_bs, guesses, gts_b = [], [], []
+                    for b in range(s2m_b):
+                        cx = 60.0 + 280.0 * b / max(s2m_b - 1, 1)
+                        # sample from the FULL corridor pool like the
+                        # sequential case (independent sampling vs the map's
+                        # own 2^20 subset — apples-to-apples, ADVICE r3)
+                        sc = local_window(
+                            corridor, cx,
+                            np.random.RandomState(100 + b),
+                        )
+                        sb = se3.from_xyz_ypr(cx, 0.0, 1.5, 0.0, 0.0, 0.0)
+                        ge = se3.from_xyz_ypr(
+                            0.9 * rngb.uniform(-1, 1),
+                            0.2 * rngb.uniform(-1, 1),
+                            0.02, 0.02 * rngb.uniform(-1, 1), 0.003, -0.004,
+                        )
+                        gtb = se3.compose(sb, ge)
+                        lxb = np.array(
+                            se3.apply(se3.inverse(gtb), jnp.asarray(sc))
+                        )
+                        lm_bs.append(
+                            {"raw": PointCloud.from_numpy(lxb, capacity=8192)}
+                        )
+                        guesses.append(sb)
+                        gts_b.append(gtb)
+                    fnb = make_batched_align(
+                        icp2, p2, broadcast_globals=True
                     )
-                    sb = se3.from_xyz_ypr(cx, 0.0, 1.5, 0.0, 0.0, 0.0)
-                    ge = se3.from_xyz_ypr(
-                        0.9 * rngb.uniform(-1, 1), 0.2 * rngb.uniform(-1, 1),
-                        0.02, 0.02 * rngb.uniform(-1, 1), 0.003, -0.004,
-                    )
-                    gtb = se3.compose(sb, ge)
-                    lxb = np.array(
-                        se3.apply(se3.inverse(gtb), jnp.asarray(sc))
-                    )
-                    lm_bs.append(
-                        {"raw": PointCloud.from_numpy(lxb, capacity=8192)}
-                    )
-                    guesses.append(sb)
-                    gts_b.append(gtb)
-                fnb = make_batched_align(
-                    icp2, p2, broadcast_globals=True
-                )
-                l_bb = stack_pytrees(lm_bs)
-                u_bb = stack_pytrees(guesses)
-                rb2 = fnb(l_bb, gm_layers, u_bb)
-                s2m_b_err = max(
-                    float(se3.error_log_norm(
-                        gts_b[b],
-                        jax.tree_util.tree_map(
-                            lambda x: x[b], rb2.optimal_tf
-                        ),
-                    ))
-                    for b in range(s2m_b)
-                )
-                nb2 = 5
-                t0 = time.perf_counter()
-                for _ in range(nb2):
+                    l_bb = stack_pytrees(lm_bs)
+                    u_bb = stack_pytrees(guesses)
                     rb2 = fnb(l_bb, gm_layers, u_bb)
-                _ = float(rb2.optimal_tf.t[0, 0])  # true sync (see above)
-                s2m_b_scans_per_s = (
-                    nb2 * s2m_b / (time.perf_counter() - t0)
-                )
-                if s2m_b_err > 0.1:
-                    s2m_b_scans_per_s = 0.0
+                    s2m_b_err = max(
+                        float(se3.error_log_norm(
+                            gts_b[b],
+                            jax.tree_util.tree_map(
+                                lambda x: x[b], rb2.optimal_tf
+                            ),
+                        ))
+                        for b in range(s2m_b)
+                    )
+                    nb2 = 5
+                    t0 = time.perf_counter()
+                    for _ in range(nb2):
+                        rb2 = fnb(l_bb, gm_layers, u_bb)
+                    _ = float(rb2.optimal_tf.t[0, 0])  # true sync (above)
+                    s2m_b_scans_per_s = (
+                        nb2 * s2m_b / (time.perf_counter() - t0)
+                    )
+                    if s2m_b_err > 0.1:
+                        s2m_b_scans_per_s = 0.0
+            except Exception:
+                import sys
+                import traceback
+                traceback.print_exc(file=sys.stderr)
 
             # the C++ KD-tree baseline on the SAME 8k-scan-vs-1M-map
             # problem (VERDICT r2 Missing #5): this is where the reference
@@ -580,9 +591,20 @@ def main():
                         round(float(s2m_cpp["tree_build_s"]), 3)
                         if s2m_cpp else None
                     ),
+                    # sequential-only ratio (r1/r2 semantics restored —
+                    # ADVICE r3: r3 briefly reported max(seq, batched) under
+                    # this key; the batched ratio now has its own key)
                     "scan2map_vs_baseline": (
                         round(
-                            max(s2m_scans_per_s, s2m_b_scans_per_s)
+                            s2m_scans_per_s / float(s2m_cpp["aligns_per_s"]),
+                            2,
+                        )
+                        if s2m_cpp and s2m_cpp.get("aligns_per_s")
+                        else None
+                    ),
+                    "scan2map_batched_vs_baseline": (
+                        round(
+                            s2m_b_scans_per_s
                             / float(s2m_cpp["aligns_per_s"]),
                             2,
                         )

@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import functools
-from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,13 +104,51 @@ class ICPParameters:
     # margin beyond the matchers' max search radius, to absorb intra-align
     # pose correction (the crop is computed once, at the guess pose)
     crop_extra_margin: float = 5.0
+    # --- per-iteration user hook (reference: ICP.cpp:286-303) -----------
+    # TPU-first redesign of the reference's host callback: a TRACED
+    # predicate ``hook(iteration, R, t, n_pairings) -> bool`` compiled into
+    # the fused loop body after every solver step; a True result aborts the
+    # align with IterTermReason.HOOK_REQUEST. Because it is traced (called
+    # once at compile time on tracers), it stays a zero-host-round-trip
+    # on-device check and works under vmap — unlike a host io_callback,
+    # which hangs through the axon TPU tunnel (measured) and cannot be
+    # vmapped. For host-side observation inside the hook use
+    # jax.debug.callback/print; to truly stop from host logic, use
+    # record_iterations and inspect afterwards.
+    iteration_hook: Optional[Callable] = None
+    # --- automatic debug-file generation (reference: Parameters.h:66-96,
+    # ICP.cpp:384-467 ICP::save_log_file) --------------------------------
+    # when True every align() saves a templated .icplog.npz LogRecord
+    # (host-side, post-dispatch — the traced program is unchanged unless
+    # save_iteration_details also forces the recording scan)
+    generate_debug_files: bool = False
+    # store per-iteration poses/pairings in the record (LogRecord
+    # iterationsDetails; implies record_iterations+record_pairings)
+    save_iteration_details: bool = False
+    # keep 1 of N recorded iterations in the saved file (Parameters.h:79-83)
+    decimation_iteration_details: int = 10
+    # generate only 1 of N log files (Parameters.h:85-88)
+    decimation_debug_files: int = 1
+    # $UNIQUE_ID / $GLOBAL_ID / $GLOBAL_LABEL / $LOCAL_ID / $LOCAL_LABEL
+    # are substituted (Parameters.h:90-92)
+    debug_file_name_format: str = (
+        "icp-run-$UNIQUE_ID-local-$LOCAL_ID$LOCAL_LABEL-"
+        "global-$GLOBAL_ID$GLOBAL_LABEL.icplog.npz"
+    )
+    # host functors applied to a COPY of each map before logging
+    # (Parameters.h:94-96); may return a replacement map or None (in-place)
+    functor_before_logging_local: Optional[Callable] = None
+    functor_before_logging_global: Optional[Callable] = None
 
 
 class ICPResults(NamedTuple):
     """Reference: mp2p_icp/include/mp2p_icp/Results.h:29-58."""
 
     optimal_tf: Pose
-    optimal_scale: jax.Array  # always 1.0 (reference scale support is vestigial)
+    # 1.0 unless a SolverHorn(estimate_scale=True) is present (reference:
+    # Results.h:35-36 optimalScale; the scale formula itself is the
+    # reference's optimal_tf_horn.cpp:177-195)
+    optimal_scale: jax.Array
     n_iterations: jax.Array
     termination_reason: jax.Array  # IterTermReason value
     quality: jax.Array
@@ -326,6 +364,14 @@ class ICP:
         params = params or ICPParameters()
         if not self.matchers or not self.solvers:
             raise ValueError("ICP requires at least one matcher and one solver")
+        if params.generate_debug_files and params.save_iteration_details:
+            # the reference stores per-iteration detail in the LogRecord
+            # when saveIterationDetails is on (Parameters.h:71-77) — flip
+            # the recording scan on before the jit key is formed
+            if not (params.record_iterations and params.record_pairings):
+                params = dataclasses.replace(
+                    params, record_iterations=True, record_pairings=True
+                )
         g_layers = point_layers(global_map)
         l_layers = point_layers(local_map)
         if not g_layers or not l_layers:
@@ -348,7 +394,14 @@ class ICP:
             self._jit_cache[key] = jax.jit(
                 functools.partial(self._align_full, params, matchers)
             )
-        return self._jit_cache[key](g_layers, l_layers, guess, prior)
+        results = self._jit_cache[key](g_layers, l_layers, guess, prior)
+        if params.generate_debug_files:
+            from mp2p_icp_tpu.io.debug_dump import save_icp_debug_file
+
+            save_icp_debug_file(
+                params, local_map, global_map, guess, results
+            )
+        return results
 
     # ------------------------------------------------------------- cropping
     def _crop_globals(self, params, matchers, g_layers, l_layers, guess):
@@ -509,6 +562,26 @@ class ICP:
                     jnp.where(keep_new, new_pose.R, carry.pose.R),
                     jnp.where(keep_new, new_pose.t, carry.pose.t),
                 )
+                if params.iteration_hook is not None:
+                    # user hook with stop request (reference ICP.cpp:286-303
+                    # iteration_hook_): a traced predicate on the
+                    # post-solver solution (the reference's
+                    # IterationHook_Input.currentSolution) — see the
+                    # ICPParameters.iteration_hook docstring
+                    stop = jnp.asarray(
+                        params.iteration_hook(
+                            carry.iteration, pose_out.R, pose_out.t,
+                            pairings.size(),
+                        ),
+                        dtype=bool,
+                    )
+                    reason = jnp.where(
+                        (reason == _RUNNING) & stop,
+                        jnp.asarray(
+                            IterTermReason.HOOK_REQUEST, jnp.int32
+                        ),
+                        reason,
+                    )
                 return _LoopCarry(
                     pose=pose_out,
                     prev_pose=carry.pose,
@@ -630,9 +703,27 @@ class ICP:
 
         cov = compute_covariance(final.pairings, final.pose)
 
+        # optimal scale (reference: Results.h:35-36 optimalScale). Reported
+        # only — like the reference, the pose itself stays rigid. Computed
+        # once from the FINAL pairings when a Horn solver opted in, so the
+        # loop carry needs no extra state.
+        opt_scale = jnp.asarray(1.0)
+        for s in self.solvers:
+            if getattr(s, "estimate_scale", False) and s.enabled:
+                from mp2p_icp_tpu.solvers.horn import horn_scale
+                from mp2p_icp_tpu.solvers.pt2_conversions import (
+                    pt2ln_pl_to_pt2pt,
+                )
+
+                opt_scale = horn_scale(
+                    pt2ln_pl_to_pt2pt(final.pairings, final.pose),
+                    s.weight_params,
+                )
+                break
+
         return ICPResults(
             optimal_tf=final.pose,
-            optimal_scale=jnp.asarray(1.0),
+            optimal_scale=opt_scale,
             n_iterations=final.iteration,
             termination_reason=reason,
             quality=quality,

@@ -584,6 +584,20 @@ def icp_pipeline_from_yaml(
         debug_print_iteration_progress=bool(
             p.get("debugPrintIterationProgress", False)
         ),
+        # debug-file generation subsystem (reference Parameters.h:66-96 /
+        # Parameters.cpp serializeFrom — same camelCase YAML keys)
+        generate_debug_files=bool(p.get("generateDebugFiles", False)),
+        save_iteration_details=bool(p.get("saveIterationDetails", False)),
+        decimation_iteration_details=int(
+            _num(p.get("decimationIterationDetails", 10))
+        ),
+        decimation_debug_files=int(_num(p.get("decimationDebugFiles", 1))),
+        debug_file_name_format=str(
+            p.get(
+                "debugFileNameFormat",
+                ICPParameters.debug_file_name_format,
+            )
+        ),
     )
 
     def build_list(section, registry, kind):

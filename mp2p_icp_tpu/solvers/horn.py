@@ -79,6 +79,32 @@ def horn_from_vector_pairs(vp: VectorPairs) -> Pose:
     )
 
 
+def horn_scale(
+    pairings: Pairings,
+    wp: Optional[WeightParameters] = None,
+) -> jax.Array:
+    """Optimal uniform scale ``s`` with global ≈ s·R·local + t.
+
+    Reference parity: optimal_tf_horn.cpp:177-195 — Horn's symmetric scale
+    expression sqrt(Σ|·|²/Σ|·|²) over the centred vector pairs (the
+    reference keeps it behind ``#if 0``/``forceScaleToUnity`` but still
+    reserves Results.h:35-36 ``optimalScale`` for it). Convention: the
+    returned scale maps LOCAL onto GLOBAL (s = sqrt(Σw|b|²/Σw|r|²), b =
+    centred global, r = centred local) so that the translation composition
+    ``t = ct_global - s·R·ct_local`` (the "pp *= s" at
+    optimal_tf_horn.cpp:243) is consistent; the dead code's num/den order
+    is the reciprocal of this.
+
+    Weighted with the same masked weights as the rotation solve; degenerate
+    input (no pairs) yields 1.0."""
+    wp = wp or WeightParameters()
+    vp = build_vector_pairs(pairings, wp, normalize_point_vectors=False)
+    num = jnp.sum(vp.w * jnp.sum(vp.b * vp.b, axis=-1))
+    den = jnp.sum(vp.w * jnp.sum(vp.r * vp.r, axis=-1))
+    ok = (num > 0) & (den > 0)
+    return jnp.where(ok, jnp.sqrt(num / jnp.maximum(den, 1e-30)), 1.0)
+
+
 def optimal_tf_horn(
     pairings: Pairings,
     wp: Optional[WeightParameters] = None,

@@ -53,6 +53,11 @@ class SolverHorn(Solver):
     weight_params: WeightParameters = dataclasses.field(
         default_factory=WeightParameters
     )
+    # fill ICPResults.optimal_scale from the final pairings (reference:
+    # Results.h:35-36 optimalScale / optimal_tf_horn.cpp:177-195 scale
+    # expression). Reporting-only — the solved pose stays rigid, exactly
+    # like the reference's forceScaleToUnity default.
+    estimate_scale: bool = False
 
     def solve(
         self, pairings: Pairings, guess: Pose, prior: Optional[SE3Prior] = None
