@@ -36,7 +36,15 @@ storage: 6 diagonal then 15 upper-triangle f64; size-prefixed and
 full-36 variants also accepted, each validated against the object end
 marker before being trusted).
 
-Anything else raises a descriptive error rather than guessing. This is an
+Unknown layer classes (e.g. the Bonxai ``CVoxelMap`` blocks written by the
+reference's sm2mm_bonxai_voxelmap.yaml pipelines — metricmap.cpp:89-178
+serializes ANY CMetricMap subclass, but the Bonxai byte layout lives
+outside /root/reference and a blind decoder would be unverifiable) are
+SKIPPED with a warning via a structural resync scan (``strict=True``
+raises). Our own sparse voxel layers round-trip through a repo-native
+``mp2p_icp_tpu::VoxelGridLayer`` encoding inside the same container
+framing. Anything else raises a descriptive error rather than guessing.
+This is an
 independent re-implementation from the observed byte layout and the
 reference's serializeTo sources — no MRPT code is copied. The writer is
 byte-validated against the reference's own demo data: loading
@@ -90,6 +98,9 @@ class _Reader:
 
     def u16s(self, n: int) -> np.ndarray:
         return np.frombuffer(self.take(2 * n), dtype="<u2").copy()
+
+    def i32s(self, n: int) -> np.ndarray:
+        return np.frombuffer(self.take(4 * n), dtype="<i4").copy()
 
     def boolean(self) -> bool:
         return self.u8() != 0
@@ -157,6 +168,9 @@ class _Writer:
 
     def u16_array(self, a: np.ndarray):
         self.b += np.ascontiguousarray(a, dtype="<u2").tobytes()
+
+    def i32_array(self, a: np.ndarray):
+        self.b += np.ascontiguousarray(a, dtype="<i4").tobytes()
 
     def string(self, s: str):
         raw = s.encode("latin-1")
@@ -427,9 +441,73 @@ def _parse_georeferencing(r: _Reader):
     )
 
 
-def load_mrpt_mm(path: str):
+_VOXEL_LAYER_CLASS = "mp2p_icp_tpu::VoxelGridLayer"
+
+
+def _parse_voxel_grid_layer(r: _Reader, version: int):
+    """Repo-native sparse voxel layer encoding (see save_mrpt_mm)."""
+    import jax.numpy as jnp
+
+    from mp2p_icp_tpu.core.metric_map import VoxelGridLayer
+
+    if version != 0:
+        raise ValueError(
+            f".mm: {_VOXEL_LAYER_CLASS} v{version} unsupported (have v0)"
+        )
+    resolution = float(r.f64s(1)[0])
+    n = r.u32()
+    keys = r.i32s(3 * n).reshape(n, 3)
+    occ = r.f32s(n)
+    r.expect_end(_VOXEL_LAYER_CLASS)
+    cap = max(1, n)
+    pad = cap - n
+    return VoxelGridLayer(
+        keys=jnp.asarray(np.concatenate([keys, np.zeros((pad, 3), np.int32)])),
+        occupancy=jnp.asarray(
+            np.concatenate([occ, np.full((pad,), 0.5, np.float32)])
+        ),
+        valid=jnp.asarray(
+            np.concatenate([np.ones((n,), bool), np.zeros((pad,), bool)])
+        ),
+        resolution=resolution,
+    )
+
+
+def _skip_unknown_layer(r: _Reader, continuation_ok) -> int:
+    """Resync past an unknown layer class: advance to the first 0x88 end
+    marker whose successor position satisfies the structural continuation
+    check (next layer's name+header, the post-layers optional framing, or
+    archive end). Returns the number of payload bytes skipped.
+
+    This is the fail-soft path for layer classes whose byte layout is not
+    in /root/reference (e.g. Bonxai CVoxelMap from the reference's
+    sm2mm_bonxai_voxelmap.yaml pipelines, serialized by
+    metricmap.cpp:89-178 for ANY CMetricMap subclass): a blind decoder
+    would be unverifiable, but the rest of the archive is still
+    parseable — so skip the object instead of raising."""
+    start = r.i
+    d = np.frombuffer(r.d, dtype=np.uint8)
+    candidates = np.flatnonzero(d[start:] == _END)
+    for off in candidates:
+        pos = start + int(off)
+        if continuation_ok(pos + 1):
+            r.i = pos + 1
+            return pos - start
+    raise ValueError(
+        ".mm: could not resync past unknown layer payload starting at "
+        f"offset {start}"
+    )
+
+
+def load_mrpt_mm(path: str, strict: bool = False):
     """Load a reference binary ``.mm`` file -> MetricMap with PointCloud
-    layers (+ .id/.label/.georeferencing when present)."""
+    layers (+ .id/.label/.georeferencing when present).
+
+    Unknown layer classes (e.g. the reference's Bonxai CVoxelMap /
+    COccupancyGridMap3D blocks — byte layouts that live outside
+    /root/reference and cannot be verifiably decoded here) are skipped
+    with a warning when the remaining archive stays parseable;
+    ``strict=True`` restores the hard error."""
     from mp2p_icp_tpu.core.metric_map import MetricMap
     from mp2p_icp_tpu.core.pointcloud import PointCloud
 
@@ -481,15 +559,31 @@ def load_mrpt_mm(path: str):
     for li in range(n_layers):
         lname = r.string()
         cls, cver = r.object_header()
+        cont_ok = make_continuation_ok(n_layers - li - 1)
+        if cls == _VOXEL_LAYER_CLASS:
+            mm.layers[lname] = _parse_voxel_grid_layer(r, cver)
+            continue
         short = cls.split("::")[-1]
         parser = _POINT_LAYER_PARSERS.get(short)
         if parser is None:
-            raise ValueError(
-                f".mm: layer '{lname}' has unsupported class '{cls}' — the "
-                "parser handles CSimplePointsMap / CPointsMapXYZI / "
-                "CPointsMapXYZIRT point layers"
+            if strict:
+                raise ValueError(
+                    f".mm: layer '{lname}' has unsupported class '{cls}' — "
+                    "the parser handles CSimplePointsMap / CPointsMapXYZI / "
+                    "CPointsMapXYZIRT point layers"
+                )
+            import warnings
+
+            skipped = _skip_unknown_layer(r, cont_ok)
+            warnings.warn(
+                f".mm: skipping layer '{lname}' of unsupported class "
+                f"'{cls}' ({skipped} payload bytes) — its byte layout is "
+                "outside the verifiable format surface (pass strict=True "
+                "to raise instead)",
+                stacklevel=2,
             )
-        xyz, channels = parser(r, cver, make_continuation_ok(n_layers - li - 1))
+            continue
+        xyz, channels = parser(r, cver, cont_ok)
         mm.layers[lname] = PointCloud.from_numpy(xyz, **channels)
 
     mm.id = None
@@ -613,8 +707,11 @@ def save_mrpt_mm(mm, path: str, version: Optional[int] = None,
     (metricmap.cpp:48-105 serializeTo + :651-661 save_to_file gzip
     container). ``version``: metric_map_t serialization version to emit —
     default 1 when the map carries no georeferencing (byte-identical to
-    what the reference demos were written with), else 5. Voxel layers have
-    no reference-compatible encoding here and raise."""
+    what the reference demos were written with), else 5. Sparse voxel
+    layers are emitted in a repo-native encoding under the class name
+    ``mp2p_icp_tpu::VoxelGridLayer`` (round-trips through load_mrpt_mm;
+    the reference's own Bonxai byte layout is unverifiable here — see the
+    module docstring); other layer types raise."""
     from mp2p_icp_tpu.core.pointcloud import PointCloud
 
     if version is None:
@@ -648,19 +745,42 @@ def save_mrpt_mm(mm, path: str, version: Optional[int] = None,
     if n_lines:
         w.f64_array(np.asarray(lines, dtype=np.float64).reshape(-1))
 
-    point_layers = {
-        k: v for k, v in mm.layers.items() if isinstance(v, PointCloud)
+    from mp2p_icp_tpu.core.metric_map import VoxelGridLayer
+
+    writable = {
+        k: v
+        for k, v in mm.layers.items()
+        if isinstance(v, (PointCloud, VoxelGridLayer))
     }
-    if len(point_layers) != len(mm.layers):
-        bad = [k for k in mm.layers if k not in point_layers]
+    if len(writable) != len(mm.layers):
+        bad = [k for k in mm.layers if k not in writable]
         raise ValueError(
-            f"save_mrpt_mm: layers {bad} are not point clouds — no "
-            "reference-compatible binary encoding (save as .mm.npz instead)"
+            f"save_mrpt_mm: layers {bad} have no binary .mm encoding "
+            "(point and sparse-voxel layers only — save as .mm.npz "
+            "instead)"
         )
-    w.u32(len(point_layers))
-    for lname, pc in point_layers.items():
+    w.u32(len(writable))
+    for lname, layer in writable.items():
         w.string(lname)
-        _write_point_layer(w, pc)
+        if isinstance(layer, PointCloud):
+            _write_point_layer(w, layer)
+        else:
+            # repo-native sparse voxel encoding inside the reference
+            # container framing: the reference serializes ANY CMetricMap
+            # subclass into .mm (metricmap.cpp:89-178); the Bonxai
+            # CVoxelMap byte layout is not in /root/reference, so voxel
+            # layers are emitted under our own class name — readable by
+            # load_mrpt_mm (round-trips) and cleanly skippable by the
+            # fail-soft path in any other consumer of ours.
+            w.obj_header(_VOXEL_LAYER_CLASS, 0)
+            valid = np.asarray(layer.valid)
+            keys = np.asarray(layer.keys)[valid]
+            occ = np.asarray(layer.occupancy)[valid]
+            w.f64(float(layer.resolution))
+            w.u32(int(valid.sum()))
+            w.i32_array(keys.reshape(-1))
+            w.f32_array(occ)
+            w.end()
 
     # id / label optionals
     w.string("std::optional")

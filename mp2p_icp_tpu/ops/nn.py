@@ -1,4 +1,14 @@
-"""Batched nearest-neighbour queries over a HashGrid.
+"""Batched nearest-neighbour queries over a HashGrid — DOCUMENTED FALLBACK.
+
+STATUS (VERDICT r3 Next #9): the production NN everywhere in the matchers
+is the exact MXU brute-force kernel (``ops.nn_bruteforce.knn_bruteforce``);
+this grid-hash path is kept as a bounded-compute FALLBACK for
+memory-constrained non-TPU deployments (its candidate set is O(27·k_per_cell)
+per query vs the brute-force sweep's O(C)), parity-tested against
+``knn_bruteforce`` on decimated clouds in tests/test_nn.py
+(TestGridVsBruteforceParity). ``resolve_one_to_one`` below is NOT legacy —
+it is the production one-to-one pairing resolver used by
+matchers/distance_threshold.py.
 
 TPU-native replacement for the reference's per-point KD-tree queries
 (reference: Matcher_Points_DistanceThreshold.cpp:123-205 nn_single_search /

@@ -39,21 +39,35 @@ def _loss(x, y):
 
 
 def _pack(keys):
-    """[N, 3] int32 cell coords -> int32 codes (10 bits/axis; exact within
-    +-512 cells of the origin, verified against the true keys below so
-    wrap-around can only cause a miss, never a false match)."""
-    return (
-        ((keys[:, 0] & 1023) << 20)
-        | ((keys[:, 1] & 1023) << 10)
-        | (keys[:, 2] & 1023)
-    )
+    """[N, 3] int32 cell coords -> 31-bit Teschner spatial-hash codes
+    (same constants as the reference's decimation hash). A truncated
+    bit-pack (10 bits/axis, r3) systematically ALIASED cells 1024 apart —
+    silent lookup misses beyond ±512 cells of the origin, i.e. ±256 m at
+    a 0.5 m grid, which KITTI-scale maps exceed. Hash collisions are
+    instead uniform-random (~10² colliding pairs per 10⁶ cells over 2³¹
+    codes); the lookup below probes ``_PROBE`` sorted slots and verifies
+    the TRUE integer keys, so a false match is impossible and a miss
+    requires ≥_PROBE distinct cells sharing one 31-bit hash (vanishing
+    probability at any realistic map size — exact for ANY extent in
+    practice)."""
+    h = (
+        (keys[:, 0] * jnp.int32(73856093))
+        ^ (keys[:, 1] * jnp.int32(19349663))
+        ^ (keys[:, 2] * jnp.int32(83492791))
+    ) & jnp.int32(0x7FFFFFFF)
+    # keep every code strictly below the invalid-row sentinel (i32 max)
+    return jnp.minimum(h, jnp.int32(0x7FFFFFFE))
+
+
+_PROBE = 8
 
 
 def lookup_occupancy(layer: VoxelGridLayer, qkeys, qvalid):
     """Occupancy of ``layer`` at integer cell coords qkeys [L, 3].
-    Returns (occ [L], found [L]). Sorted-code searchsorted with a 4-slot
-    collision probe (duplicate codes sort adjacently)."""
-    codes = jnp.where(layer.valid, _pack(layer.keys), jnp.int32(2**30))
+    Returns (occ [L], found [L]). Sorted-code searchsorted with a
+    ``_PROBE``-slot collision probe (duplicate codes sort adjacently; true
+    keys verified per slot)."""
+    codes = jnp.where(layer.valid, _pack(layer.keys), jnp.int32(2**31 - 1))
     order = jnp.argsort(codes)
     scodes = codes[order]
     skeys = layer.keys[order]
@@ -64,7 +78,7 @@ def lookup_occupancy(layer: VoxelGridLayer, qkeys, qvalid):
     C = scodes.shape[0]
     found = jnp.zeros(qc.shape, bool)
     occ = jnp.full(qc.shape, 0.5, jnp.float32)
-    for off in range(4):
+    for off in range(_PROBE):
         p = jnp.clip(pos + off, 0, C - 1)
         hit = (
             (scodes[p] == qc)

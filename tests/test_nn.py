@@ -124,3 +124,56 @@ class TestOneToOne:
         valid = jnp.asarray([[False], [True]])
         keep = resolve_one_to_one(idx, d, valid, n_global_capacity=4)
         np.testing.assert_array_equal(np.asarray(keep), [False, True])
+
+
+class TestGridVsBruteforceParity:
+    """The grid-hash fallback must agree with the production MXU
+    brute-force kernel inside its completeness envelope (VERDICT r3
+    Next #9: one documented parity test unifies the two NN stacks)."""
+
+    def test_grid_equals_bruteforce_on_decimated_cloud(self):
+        from mp2p_icp_tpu.ops.nn_bruteforce import knn_bruteforce
+
+        rng = np.random.RandomState(42)
+        cap = 2048
+        raw = rng.uniform(-20, 20, (cap, 3)).astype(np.float32)
+        # decimate to one point per 1.0 m voxel so bucket occupancy is
+        # small and cell_size >= radius holds
+        cells = np.floor(raw / 1.0).astype(np.int64)
+        _, first = np.unique(
+            cells[:, 0] * 10_000_000 + cells[:, 1] * 1000 + cells[:, 2],
+            return_index=True,
+        )
+        pvalid = np.zeros(cap, bool)
+        pvalid[first[:1800]] = True
+        pts = np.where(pvalid[:, None], raw, 1e8).astype(np.float32)
+
+        queries = rng.uniform(-20, 20, (256, 3)).astype(np.float32)
+        qvalid = np.ones(256, bool)
+        radius = 1.0
+
+        grid = build_hash_grid(jnp.asarray(pts), jnp.asarray(pvalid), 1.0)
+        rg = nn_search(
+            grid, jnp.asarray(queries), jnp.asarray(qvalid),
+            k=1, k_per_cell=16, max_radius_sq=radius * radius,
+        )
+        rb = knn_bruteforce(
+            jnp.asarray(queries), jnp.asarray(qvalid),
+            jnp.asarray(pts), jnp.asarray(pvalid),
+            k=1, max_radius_sq=jnp.float32(radius * radius),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rg.valid[:, 0]), np.asarray(rb.valid[:, 0])
+        )
+        m = np.asarray(rb.valid[:, 0])
+        assert m.sum() > 20  # the envelope is actually exercised
+        np.testing.assert_array_equal(
+            np.asarray(rg.idx[:, 0])[m], np.asarray(rb.idx[:, 0])[m]
+        )
+        # the MXU kernel computes distances via the bf16 hi/mid/lo
+        # split (~1e-3 relative); indices are exact, distances approximate
+        np.testing.assert_allclose(
+            np.asarray(rg.dist_sq[:, 0])[m],
+            np.asarray(rb.dist_sq[:, 0])[m],
+            rtol=2e-3, atol=1e-4,
+        )
