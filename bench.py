@@ -544,6 +544,173 @@ def main():
         import traceback
         traceback.print_exc(file=sys.stderr)
 
+    # ---------------- FULL MAP-BUILDING ODOMETRY LOOP (VERDICT r3 Next
+    # #1+#2): per frame deskew -> decimate -> scan-to-accumulated-map
+    # point-to-plane align -> FilterMerge + map voxel maintenance, one
+    # fused dispatch per frame with the rolling map resident on device;
+    # the workload is the LiDAR-realistic spinning-scanner street sequence
+    # (eval/lidar_sim: 48 rings, azimuth timestamps, motion distortion).
+    # The C++ denominator (native/baseline_odometry) runs the SAME
+    # pipeline single-core with per-frame KD-tree rebuilds.
+    odo = {}
+    try:
+        if os.environ.get("MP2P_BENCH_ODOMETRY", "1") == "1":
+            from mp2p_icp_tpu.eval.lidar_sim import (
+                make_street_scene, render_spinning_scan, scan_to_pointcloud,
+            )
+            from mp2p_icp_tpu.eval.trajectory import ate_rmse
+            from mp2p_icp_tpu.filters.decimate_voxels import (
+                FilterDecimateVoxels,
+            )
+            from mp2p_icp_tpu.filters.deskew import FilterDeskew
+            from mp2p_icp_tpu.matchers.base import LayerMatch
+            from mp2p_icp_tpu.matchers.point2plane import MatcherPoint2Plane
+            from mp2p_icp_tpu.odometry import OdometryMapper
+
+            n_frames = int(os.environ.get("MP2P_BENCH_ODO_FRAMES", "36"))
+            dt_scan = 0.1
+            rng_o = np.random.RandomState(7)
+            scene = make_street_scene(rng_o, length=260.0, n_pillars=60)
+            poses, otwists, oframes = [], [], []
+            for i in range(n_frames):
+                x = 12.0 + 10.0 * dt_scan * i  # 10 m/s
+                poses.append(se3.from_xyz_ypr(
+                    x, 0.5 * np.sin(0.15 * i), 1.7,
+                    0.05 * np.sin(0.2 * i), 0.0, 0.0,
+                ))
+            for i in range(n_frames):
+                j = min(i + 1, n_frames - 1)
+                rel_p = se3.compose(se3.inverse(poses[i]), poses[j])
+                tw = (
+                    np.asarray(se3.log(rel_p), np.float64) / dt_scan
+                    if i < n_frames - 1 else otwists[-1]
+                )
+                otwists.append(np.asarray(tw, np.float32))
+                scan = render_spinning_scan(
+                    scene, poses[i], otwists[i], rng_o,
+                    n_rings=48, n_azimuth=768,
+                )
+                oframes.append(
+                    {"raw": scan_to_pointcloud(scan, capacity=1 << 15)}
+                )
+            # IMU-grade twist noise (same realism as the sequence test)
+            otwists = [
+                np.asarray(
+                    t * (1.0 + 0.03 * rng_o.randn(6))
+                    + np.array([0.05, 0.05, 0.02, 0.005, 0.005, 0.005])
+                    * rng_o.randn(6),
+                    np.float32,
+                )
+                for t in otwists
+            ]
+            gt_o = np.tile(np.eye(4), (n_frames, 1, 1))
+            for i, p in enumerate(poses):
+                gt_o[i, :3, :3] = np.asarray(p.R)
+                gt_o[i, :3, 3] = np.asarray(p.t)
+
+            icp_o = ICP(
+                matchers=[MatcherPoint2Plane(
+                    distance_threshold=1.5, knn=8,
+                    layer_matches=(LayerMatch(
+                        global_layer="map", local_layer="decimated"),),
+                )],
+                solvers=[SolverGaussNewton(
+                    gn_params=GNParams(max_iterations=3))],
+            )
+            mapper = OdometryMapper(
+                icp=icp_o,
+                params=ICPParameters(
+                    max_iterations=30, crop_capacity=1 << 15,
+                    crop_extra_margin=3.0,
+                ),
+                filters=[
+                    FilterDeskew(input_pointcloud_layer="raw",
+                                 output_pointcloud_layer="deskewed"),
+                    FilterDecimateVoxels(
+                        input_pointcloud_layer=("deskewed",),
+                        output_pointcloud_layer="decimated",
+                        voxel_filter_resolution=0.5,
+                        output_capacity=8192,
+                    ),
+                ],
+                map_filters=[FilterDecimateVoxels(
+                    input_pointcloud_layer=("map",),
+                    output_pointcloud_layer="map",
+                    voxel_filter_resolution=0.5,
+                    output_capacity=1 << 18,
+                )],
+                local_layer="decimated", map_layer="map",
+                map_capacity=1 << 18,
+            )
+            p0_o = se3.Pose(
+                jnp.asarray(gt_o[0, :3, :3], jnp.float32),
+                jnp.asarray(gt_o[0, :3, 3], jnp.float32),
+            )
+            r_warm = mapper.run(
+                oframes, twists=otwists, dt=dt_scan, initial_pose=p0_o
+            )  # compile run
+            r_meas = mapper.run(
+                oframes, twists=otwists, dt=dt_scan, initial_pose=p0_o
+            )
+            odo["odometry_loop_scans_per_s"] = round(
+                r_meas["scans_per_s"], 2
+            )
+            odo["odometry_ate_m"] = round(
+                float(ate_rmse(r_meas["poses"], gt_o)), 4
+            )
+            odo["odometry_map_points"] = int(r_meas["map"].count)
+            if odo["odometry_ate_m"] > 0.5:
+                odo["odometry_loop_scans_per_s"] = 0.0  # diverged: no credit
+
+            # C++ single-core denominator on the identical frames
+            here = os.path.dirname(os.path.abspath(__file__))
+            exe = os.path.join(here, "native", "baseline_odometry")
+            if not os.path.exists(exe):
+                subprocess.run(
+                    ["make", "-C", os.path.join(here, "native"),
+                     "baseline_odometry"],
+                    check=True, capture_output=True,
+                )
+            fpath = "/tmp/mp2p_bench_odo.bin"
+            with open(fpath, "wb") as fh:
+                fh.write(struct.pack("<if", n_frames, dt_scan))
+                for i, fr in enumerate(oframes):
+                    pc = fr["raw"]
+                    nn_ = int(pc.count)
+                    fh.write(struct.pack("<6f", *otwists[i]))
+                    fh.write(struct.pack("<i", nn_))
+                    arr = np.zeros((nn_, 4), np.float32)
+                    arr[:, :3] = np.asarray(pc.xyz[:nn_])
+                    arr[:, 3] = np.asarray(pc.time[:nn_])
+                    fh.write(arr.tobytes())
+            rcpp = subprocess.run(
+                [exe, fpath, "/tmp/mp2p_bench_odo_poses.txt"],
+                capture_output=True, text=True, timeout=1200,
+            )
+            cpp_o = json.loads(rcpp.stdout.strip())
+            est_cpp = np.loadtxt(
+                "/tmp/mp2p_bench_odo_poses.txt"
+            ).reshape(-1, 3, 4)
+            # C++ trajectory is relative to frame 0
+            gt_rel_o = np.linalg.inv(gt_o[0]) @ gt_o
+            full_cpp = np.tile(np.eye(4), (est_cpp.shape[0], 1, 1))
+            full_cpp[:, :3, :] = est_cpp
+            odo["odometry_cpp_scans_per_s"] = round(
+                float(cpp_o["scans_per_s"]), 3
+            )
+            odo["odometry_cpp_ate_m"] = round(
+                float(ate_rmse(full_cpp, gt_rel_o)), 4
+            )
+            if odo["odometry_loop_scans_per_s"] and cpp_o["scans_per_s"]:
+                odo["odometry_vs_baseline"] = round(
+                    odo["odometry_loop_scans_per_s"]
+                    / float(cpp_o["scans_per_s"]), 2
+                )
+    except Exception:
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+
     best = max(scans_per_s, batched_scans_per_s)
     vs = round(best / cpp_aligns_per_s, 2) if cpp_aligns_per_s else None
     print(
@@ -611,6 +778,7 @@ def main():
                         if s2m_cpp and s2m_cpp.get("aligns_per_s")
                         else None
                     ),
+                    **odo,
                     "cpp_kdtree_icp_aligns_per_s": cpp_aligns_per_s,
                     "cpp_iters": cpp_iters,
                     "pose_err_se3_log": round(err, 5),

@@ -1,0 +1,205 @@
+"""Full map-building odometry loop (VERDICT r3 Next #1 + #2).
+
+Drives mp2p_icp_tpu.odometry.OdometryMapper — per frame: deskew (constant
+twist from variables) -> decimate -> scan-to-accumulated-map align ->
+FilterMerge map update, all inside ONE jitted dispatch with a rolling
+fixed-capacity map — over a LiDAR-realistic spinning-scanner sequence
+(eval/lidar_sim: rings, azimuth timestamps, motion distortion, occlusion).
+
+Gates: trajectory ATE, per-frame quality, and the EQUALITY contract — the
+fused on-device map must match the host-side sm2mm filter-pipeline path
+(FilterMerge with robot-pose variables, FilterMerge.cpp:96-108 /
+sm2mm.cpp:159-249) run over the same estimated poses.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mp2p_icp_tpu.core import se3
+from mp2p_icp_tpu.eval.lidar_sim import (
+    make_street_scene,
+    render_spinning_scan,
+    scan_to_pointcloud,
+)
+from mp2p_icp_tpu.eval.trajectory import ate_rmse
+from mp2p_icp_tpu.filters.decimate_voxels import FilterDecimateVoxels
+from mp2p_icp_tpu.filters.deskew import FilterDeskew
+from mp2p_icp_tpu.icp import ICP, ICPParameters
+from mp2p_icp_tpu.matchers.base import LayerMatch
+from mp2p_icp_tpu.matchers.point2plane import MatcherPoint2Plane
+from mp2p_icp_tpu.odometry import OdometryMapper, reference_pipeline_map
+from mp2p_icp_tpu.solvers.gauss_newton import GNParams
+from mp2p_icp_tpu.solvers.solver import SolverGaussNewton
+
+N_FRAMES = 18
+DT = 0.1  # scan period [s]
+SPEED = 6.0  # m/s along the street
+CAP = 16384  # per-scan capacity
+
+
+def _make_sequence():
+    """Structured spinning-LiDAR drive down the street: poses, body twists
+    (ground truth — a deployment's IMU/velocity estimate), raw frames."""
+    rng = np.random.RandomState(3)
+    scene = make_street_scene(rng, length=120.0, n_pillars=30)
+    poses, twists, frames = [], [], []
+    for i in range(N_FRAMES):
+        x = 10.0 + SPEED * DT * i
+        yaw = 0.06 * np.sin(0.25 * i)
+        pose = se3.from_xyz_ypr(x, 0.4 * np.sin(0.2 * i), 1.7, yaw, 0.0, 0.0)
+        poses.append(pose)
+    for i in range(N_FRAMES):
+        # body twist from consecutive GT poses (what sm2mm's twist
+        # entries / a velocity estimator would supply)
+        j = min(i + 1, N_FRAMES - 1)
+        rel = se3.compose(se3.inverse(poses[i]), poses[j])
+        tw = np.asarray(se3.log(rel), np.float64) / DT
+        if i == N_FRAMES - 1:
+            tw = twists[-1]
+        twists.append(np.asarray(tw, np.float32))
+        scan = render_spinning_scan(
+            scene, poses[i], twists[i], rng, n_rings=32, n_azimuth=512,
+        )
+        frames.append({"raw": scan_to_pointcloud(scan, capacity=CAP)})
+    # the loop consumes IMU-grade twists, not ground truth: 3%
+    # multiplicative + additive noise (≈2 cm/frame prediction error)
+    twists = [
+        np.asarray(
+            tw * (1.0 + 0.03 * rng.randn(6))
+            + np.array([0.05, 0.05, 0.02, 0.005, 0.005, 0.005]) * rng.randn(6),
+            np.float32,
+        )
+        for tw in twists
+    ]
+    gt = np.tile(np.eye(4), (N_FRAMES, 1, 1))
+    for i, p in enumerate(poses):
+        gt[i, :3, :3] = np.asarray(p.R)
+        gt[i, :3, 3] = np.asarray(p.t)
+    return frames, twists, gt
+
+
+def _make_mapper(merge_every=1):
+    # Point-to-plane + GN: on ground-dominant spinning scans, point-to-
+    # point NN matching has a spurious attractor at the MAP's sensor pose
+    # (local ring circles snap onto the map's concentric ring pattern —
+    # measured: align started AT ground truth converged 0.53 m back toward
+    # the map viewpoint). Plane matching makes ground points constrain only
+    # z/pitch/roll, and façades+pillars pin x/y/yaw: err 0.03 in 4 iters on
+    # the same pair. (The reference hits the same physics — its LO
+    # pipelines are point-to-plane too.)
+    icp = ICP(
+        matchers=[
+            MatcherPoint2Plane(
+                distance_threshold=1.5,
+                knn=8,
+                layer_matches=(
+                    LayerMatch(global_layer="map", local_layer="decimated"),
+                ),
+            )
+        ],
+        solvers=[
+            SolverGaussNewton(gn_params=GNParams(max_iterations=3)),
+        ],
+    )
+    params = ICPParameters(
+        max_iterations=30,
+        crop_capacity=1 << 14,  # < map capacity: the crop path runs
+        crop_extra_margin=3.0,
+    )
+    filters = [
+        FilterDeskew(input_pointcloud_layer="raw",
+                     output_pointcloud_layer="deskewed"),
+        FilterDecimateVoxels(
+            input_pointcloud_layer=("deskewed",),
+            output_pointcloud_layer="decimated",
+            voxel_filter_resolution=0.5,
+            output_capacity=4096,
+        ),
+    ]
+    map_filters = [
+        # map maintenance: one (oldest) point per voxel — collapses the
+        # ghost layers overlapping scans deposit and bounds the map
+        FilterDecimateVoxels(
+            input_pointcloud_layer=("map",),
+            output_pointcloud_layer="map",
+            voxel_filter_resolution=0.5,
+            output_capacity=1 << 17,
+        ),
+    ]
+    return OdometryMapper(
+        icp=icp, params=params, filters=filters,
+        local_layer="decimated", map_layer="map",
+        map_capacity=1 << 17, merge_every=merge_every,
+        map_filters=map_filters,
+    )
+
+
+@pytest.fixture(scope="module")
+def odometry_run():
+    frames, twists, gt = _make_sequence()
+    mapper = _make_mapper()
+    out = mapper.run(
+        frames, twists=twists, dt=DT,
+        initial_pose=se3.Pose(
+            jnp.asarray(gt[0, :3, :3], jnp.float32),
+            jnp.asarray(gt[0, :3, 3], jnp.float32),
+        ),
+    )
+    return {"frames": frames, "twists": twists, "gt": gt,
+            "mapper": mapper, "out": out}
+
+
+class TestOdometryMapping:
+    def test_trajectory_gates(self, odometry_run):
+        out = odometry_run["out"]
+        gt = odometry_run["gt"]
+        ate = ate_rmse(out["poses"], gt)
+        assert ate < 0.15, ate
+        assert (out["qualities"] > 0.3).all(), out["qualities"].min()
+        assert out["scans_per_s"] > 0
+
+    def test_map_covers_street(self, odometry_run):
+        m = odometry_run["out"]["map"]
+        n = int(m.count)
+        assert n > 5_000
+        xyz = np.asarray(m.xyz[:n])
+        span = xyz[:, 0].max() - xyz[:, 0].min()
+        assert span > 50.0  # accumulated well beyond one sweep's window
+
+    def test_fused_map_matches_filter_pipeline_path(self, odometry_run):
+        """Equality contract: the on-device fused merge == the sm2mm-style
+        host FilterMerge path over the same estimated poses."""
+        out = odometry_run["out"]
+        ref_map = reference_pipeline_map(
+            odometry_run["mapper"], odometry_run["frames"], out["poses"],
+            twists=odometry_run["twists"],
+        )
+        n_fused = int(out["map"].count)
+        n_ref = int(ref_map.count)
+        assert n_fused == n_ref
+        a = np.asarray(out["map"].xyz[:n_fused])
+        b = np.asarray(ref_map.xyz[:n_ref])
+        # identical insert order; coordinates differ only by the float32
+        # pose-matrix vs ypr-reconstruction round trip
+        np.testing.assert_allclose(a, b, atol=5e-3)
+        i_f = np.asarray(out["map"].intensity[:n_fused])
+        i_r = np.asarray(ref_map.intensity[:n_ref])
+        np.testing.assert_allclose(i_f, i_r, atol=1e-6)
+
+    def test_keyframed_merge(self, odometry_run):
+        """merge_every=3 still tracks but accumulates a smaller map."""
+        frames = odometry_run["frames"]
+        twists = odometry_run["twists"]
+        gt = odometry_run["gt"]
+        mapper = _make_mapper(merge_every=3)
+        out = mapper.run(
+            frames, twists=twists, dt=DT,
+            initial_pose=se3.Pose(
+                jnp.asarray(gt[0, :3, :3], jnp.float32),
+                jnp.asarray(gt[0, :3, 3], jnp.float32),
+            ),
+        )
+        assert ate_rmse(out["poses"], gt) < 0.25
+        # voxel-bounded map: fewer merged scans cannot cover MORE voxels
+        assert int(out["map"].count) <= int(odometry_run["out"]["map"].count)
