@@ -24,6 +24,11 @@ def main(argv=None):
                          "written with record_pairings; reference GUI "
                          "equivalent: the iteration slider + pairing "
                          "lines, icp-log-viewer/main.cpp)")
+    ap.add_argument("--html", default=None,
+                    help="write a standalone INTERACTIVE WebGL viewer: "
+                         "live iteration slider re-posing the local map "
+                         "+ pairing lines (apps/html_viewer.py) — the "
+                         "reference icp-log-viewer GUI equivalent")
     args = ap.parse_args(argv)
     if args.iteration is not None and not args.output_prefix:
         ap.error("-i/--iteration renders a PNG frame and needs "
@@ -35,6 +40,11 @@ def main(argv=None):
     from mp2p_icp_tpu.io.icplog import load_log
 
     log = load_log(args.input)
+    if args.html:
+        from mp2p_icp_tpu.apps.html_viewer import export_icplog_html
+
+        export_icplog_html(log, args.html)
+        print(f"wrote {args.html}")
     meta = log["meta"]
     print("ICP log record:")
     print(f"  iterations : {meta['n_iterations']}")

@@ -24,6 +24,8 @@ from mp2p_icp_tpu.ops.nn_bruteforce import knn_bruteforce
 from mp2p_icp_tpu.solvers.gauss_newton import GNParams
 from mp2p_icp_tpu.solvers.solver import SolverGaussNewton, SolverHorn
 
+pytestmark = pytest.mark.slow  # quick loop: -m 'not slow'
+
 
 # ---------------------------------------------------------- streamed kNN
 class TestStreamedKnn:

@@ -32,6 +32,8 @@ from mp2p_icp_tpu.odometry import OdometryMapper, reference_pipeline_map
 from mp2p_icp_tpu.solvers.gauss_newton import GNParams
 from mp2p_icp_tpu.solvers.solver import SolverGaussNewton
 
+pytestmark = pytest.mark.slow  # quick loop: -m 'not slow'
+
 N_FRAMES = 18
 DT = 0.1  # scan period [s]
 SPEED = 6.0  # m/s along the street

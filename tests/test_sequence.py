@@ -20,6 +20,8 @@ from mp2p_icp_tpu.core.pointcloud import PointCloud
 from mp2p_icp_tpu.eval.trajectory import ate_rmse, load_kitti_poses
 from mp2p_icp_tpu.io.kitti import save_kitti_bin
 
+pytestmark = pytest.mark.slow  # quick loop: -m 'not slow'
+
 N_FRAMES = 104
 SCAN_N = 900
 SENSOR_RANGE = 14.0

@@ -19,6 +19,8 @@ from mp2p_icp_tpu.io.kitti import save_kitti_bin
 
 from tests.test_sequence import circle_pose
 
+pytestmark = pytest.mark.slow  # quick loop: -m 'not slow'
+
 N_FRAMES = 52
 SCAN_N = 8192
 SENSOR_RANGE = 18.0
