@@ -274,19 +274,47 @@ def _make_nnk_pallas(block_c: int, interpret: bool, K: int):
         qaug = bcast(qaug, qb)
         paug = bcast(paug, pb)
         Qp = qaug.shape[2]
+        Cp = paug.shape[2]
         kernel = functools.partial(
             _nnk_kernel_gridless_batched, block_c=block_c, K=K
         )
-        bestd, besti = pl.pallas_call(
-            kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_shape=[
-                jax.ShapeDtypeStruct((axis_size, K, Qp), jnp.float32),
-                jax.ShapeDtypeStruct((axis_size, K, Qp), jnp.int32),
-            ],
-            interpret=interpret,
-        )(qaug, paug)
+
+        def call(q_b, p_b):
+            B = q_b.shape[0]
+            return pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_shape=[
+                    jax.ShapeDtypeStruct((B, K, Qp), jnp.float32),
+                    jax.ShapeDtypeStruct((B, K, Qp), jnp.int32),
+                ],
+                interpret=interpret,
+            )(q_b, p_b)
+
+        # BATCH-AXIS SLABBING (VERDICT r3 Next #3): the batched kernel
+        # keeps ALL of qaug+paug resident in VMEM — B * 64 B * (Qp + Cp).
+        # B=8 at the 64k-crop scan2map shape (38 MB) is the largest
+        # proven-compiling residency on this image; B=16 (75 MB) 500s the
+        # remote compiler. Larger batches run as sequential sub-batch
+        # sweeps of the SAME gridless kernel inside one program (lax.map =
+        # while_loop, no grid — gridded pallas hangs this compiler).
+        per_b = 64 * (Qp + Cp)
+        b_max = max(1, min(axis_size, BATCH_VMEM_BUDGET // per_b))
+        if b_max >= axis_size:
+            bestd, besti = call(qaug, paug)
+            return (bestd, besti), (True, True)
+        n_slab = -(-axis_size // b_max)
+        Bp = n_slab * b_max
+        if Bp != axis_size:
+            pad = Bp - axis_size
+            qaug = jnp.concatenate([qaug, qaug[:pad]], axis=0)
+            paug = jnp.concatenate([paug, paug[:pad]], axis=0)
+        qs = qaug.reshape(n_slab, b_max, 32, Qp)
+        ps = paug.reshape(n_slab, b_max, 32, Cp)
+        bestd, besti = jax.lax.map(lambda qp: call(qp[0], qp[1]), (qs, ps))
+        bestd = bestd.reshape(Bp, K, Qp)[:axis_size]
+        besti = besti.reshape(Bp, K, Qp)[:axis_size]
         return (bestd, besti), (True, True)
 
     return nnk
@@ -423,6 +451,12 @@ def _nn_xla_topk(q_rows, p_rows, k, chunk=2048):
 # top-k — the TPU answer to the reference's lazy KD-tree over the full map
 # (mp2p_icp_map/src/metricmap.cpp:784-802).
 STREAM_BLOCK = 131072
+
+# VMEM residency budget for the BATCHED (custom_vmap) kernel: sub-batches
+# are sized so qaug+paug stay within it (B=8 x 64k-crop = 38 MB is the
+# largest proven-compiling residency on this image's remote Mosaic;
+# module-level so tests can shrink it to exercise the slab path)
+BATCH_VMEM_BUDGET = 40 * 1024 * 1024
 
 
 def _merge_sorted_k(d_acc, i_acc, new_d, new_i, k):

@@ -175,3 +175,44 @@ class TestQuerySlabbing:
             np.asarray(a.dist_sq)[sel], np.asarray(b.dist_sq)[sel],
             rtol=0, atol=5e-3,
         )
+
+
+class TestBatchSlabbing:
+    def test_vmap_batch_slabs_match_unslabbed(self, monkeypatch):
+        """VERDICT r3 Next #3: batches whose VMEM residency exceeds the
+        proven budget are swept as sequential sub-batches of the same
+        gridless kernel — results must equal the per-pair sweeps."""
+        import jax
+
+        from mp2p_icp_tpu.ops import nn_bruteforce as nb
+
+        rng = np.random.RandomState(5)
+        B, Q, C = 5, 64, 256
+        qs = rng.uniform(-10, 10, (B, Q, 3)).astype(np.float32)
+        ps = rng.uniform(-10, 10, (B, C, 3)).astype(np.float32)
+        qv = np.ones((B, Q), bool)
+        pv = np.ones((B, C), bool)
+
+        def one(q, v, p, w):
+            return nb.knn_bruteforce(
+                q, v, p, w, k=2, backend="pallas", interpret=True
+            )
+
+        # force the slab path: budget fits ~2 batch elements
+        per_b = 64 * (nb._round_up(Q, 512) + nb._round_up(C, 128))
+        monkeypatch.setattr(nb, "BATCH_VMEM_BUDGET", per_b * 2)
+        batched = jax.vmap(one)(
+            jnp.asarray(qs), jnp.asarray(qv), jnp.asarray(ps), jnp.asarray(pv)
+        )
+        monkeypatch.setattr(nb, "BATCH_VMEM_BUDGET", 40 << 20)
+        nb._make_nnk_pallas.cache_clear()
+        ref = jax.vmap(one)(
+            jnp.asarray(qs), jnp.asarray(qv), jnp.asarray(ps), jnp.asarray(pv)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched.idx), np.asarray(ref.idx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.dist_sq), np.asarray(ref.dist_sq), rtol=1e-5
+        )
+        nb._make_nnk_pallas.cache_clear()
