@@ -591,7 +591,7 @@ def main():
                     n_rings=48, n_azimuth=768,
                 )
                 oframes.append(
-                    {"raw": scan_to_pointcloud(scan, capacity=1 << 15)}
+                    {"raw": scan_to_pointcloud(scan, capacity=1 << 16)}
                 )
             # IMU-grade twist noise (same realism as the sequence test)
             otwists = [
@@ -630,7 +630,7 @@ def main():
                         input_pointcloud_layer=("deskewed",),
                         output_pointcloud_layer="decimated",
                         voxel_filter_resolution=0.5,
-                        output_capacity=8192,
+                        output_capacity=16384,
                     ),
                 ],
                 map_filters=[FilterDecimateVoxels(

@@ -180,6 +180,80 @@ def run_sequence(
     return out
 
 
+def run_sequence_mapping(
+    scan_paths,
+    config_path: str,
+    gt_poses=None,
+    max_frames=None,
+    map_layer: str = "map",
+    map_capacity: int = 1 << 20,
+    map_voxel: float = 0.5,
+    merge_every: int = 1,
+    verbose=True,
+):
+    """Scan-to-ACCUMULATED-MAP odometry (the mola_lidar_odometry loop):
+    per frame the YAML's filter pipeline runs, the result registers
+    against the rolling on-device map and merges into it — one fused
+    dispatch per frame (mp2p_icp_tpu.odometry.OdometryMapper). The
+    config's matchers are re-pointed at ``map_layer`` on the global
+    side; a FilterDecimateVoxels(map_voxel) maintains the map."""
+    import dataclasses as _dc
+    import os as _os
+
+    import numpy as np
+
+    from mp2p_icp_tpu.core.pointcloud import round_capacity
+    from mp2p_icp_tpu.eval.trajectory import ate_rmse, rpe
+    from mp2p_icp_tpu.filters import apply_filter_pipeline  # noqa: F401
+    from mp2p_icp_tpu.filters.decimate_voxels import FilterDecimateVoxels
+    from mp2p_icp_tpu.io.kitti import load_kitti_bin
+    from mp2p_icp_tpu.odometry import OdometryMapper
+    from mp2p_icp_tpu.pipeline.yaml_loader import load_icp_config_file
+
+    icp, params, sections = load_icp_config_file(config_path)
+    filters = sections.get("filters", [])
+    if max_frames:
+        scan_paths = scan_paths[:max_frames]
+    max_pts = max(_os.path.getsize(str(p)) // 16 for p in scan_paths)
+    cap = round_capacity(max(int(max_pts), 1))
+
+    # the matchers' LOCAL layer names stay as configured; the GLOBAL side
+    # becomes the rolling map layer
+    local_layer = icp.matchers[0].layer_matches[0].local_layer
+    icp.matchers = [
+        _dc.replace(
+            m,
+            layer_matches=tuple(
+                _dc.replace(lm, global_layer=map_layer)
+                for lm in m.layer_matches
+            ),
+        )
+        for m in icp.matchers
+    ]
+
+    mapper = OdometryMapper(
+        icp=icp, params=params, filters=filters,
+        local_layer=local_layer, map_layer=map_layer,
+        map_capacity=map_capacity, merge_every=merge_every,
+        map_filters=[FilterDecimateVoxels(
+            input_pointcloud_layer=(map_layer,),
+            output_pointcloud_layer=map_layer,
+            voxel_filter_resolution=map_voxel,
+            output_capacity=map_capacity,
+        )],
+    )
+    frames = [
+        {"raw": load_kitti_bin(str(p), capacity=cap)} for p in scan_paths
+    ]
+    out = mapper.run(frames, progress_every=50 if verbose else 0)
+    out["n_frames"] = len(frames)
+    if gt_poses is not None:
+        gt = np.asarray(gt_poses)[: out["poses"].shape[0]]
+        out["ate_rmse"] = ate_rmse(out["poses"], gt)
+        out["rpe_trans"], out["rpe_rot"] = rpe(out["poses"], gt)
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kitti-odometry")
     ap.add_argument("--bin-dir", required=True)
@@ -192,6 +266,17 @@ def main(argv=None):
                          "B instead of sequentially; every pair in a batch "
                          "is seeded with the previous batch's last relative "
                          "pose (batch-granular constant velocity)")
+    ap.add_argument("--mapping", action="store_true",
+                    help="scan-to-ACCUMULATED-MAP odometry with a rolling "
+                         "on-device map (one fused dispatch per frame) "
+                         "instead of scan-to-scan pairs")
+    ap.add_argument("--map-voxel", type=float, default=0.5,
+                    help="map-maintenance voxel size [m] (mapping mode)")
+    ap.add_argument("--map-capacity", type=int, default=1 << 20)
+    ap.add_argument("--merge-every", type=int, default=1,
+                    help="merge every k-th frame into the map (keyframing)")
+    ap.add_argument("--out-map", default=None,
+                    help="save the final map as .mm.npz (mapping mode)")
     args = ap.parse_args(argv)
 
     from mp2p_icp_tpu.eval.trajectory import load_kitti_poses, save_kitti_poses
@@ -200,10 +285,26 @@ def main(argv=None):
     if not paths:
         raise SystemExit(f"error: no .bin scans in {args.bin_dir}")
     gt = load_kitti_poses(args.gt_poses) if args.gt_poses else None
-    out = run_sequence(
-        paths, args.config, gt_poses=gt, max_frames=args.max_frames,
-        batch_size=args.batch_size,
-    )
+    if args.mapping:
+        out = run_sequence_mapping(
+            paths, args.config, gt_poses=gt, max_frames=args.max_frames,
+            map_capacity=args.map_capacity, map_voxel=args.map_voxel,
+            merge_every=args.merge_every,
+        )
+        if args.out_map:
+            from mp2p_icp_tpu.core.metric_map import MetricMap
+            from mp2p_icp_tpu.io.mm import save_mm_file
+
+            save_mm_file(
+                args.out_map, MetricMap(layers={"map": out["map"]})
+            )
+            print(f"map saved to {args.out_map} "
+                  f"({int(out['map'].count)} points)")
+    else:
+        out = run_sequence(
+            paths, args.config, gt_poses=gt, max_frames=args.max_frames,
+            batch_size=args.batch_size,
+        )
     print(
         f"frames={out['n_frames']} scans/s={out['scans_per_s']:.2f}"
         + (

@@ -205,3 +205,54 @@ class TestOdometryMapping:
         assert ate_rmse(out["poses"], gt) < 0.25
         # voxel-bounded map: fewer merged scans cannot cover MORE voxels
         assert int(out["map"].count) <= int(odometry_run["out"]["map"].count)
+
+
+class TestMappingCLI:
+    def test_kitti_odometry_mapping_mode(self, tmp_path, odometry_run):
+        """CLI surface: --mapping drives OdometryMapper from a reference-
+        schema YAML (matchers re-pointed at the rolling map layer) over
+        KITTI .bin scans and saves the final map."""
+        from mp2p_icp_tpu.apps.kitti_odometry import main as ko_main
+        from mp2p_icp_tpu.io.kitti import save_kitti_bin
+        from mp2p_icp_tpu.io.mm import load_mm_file
+
+        frames = odometry_run["frames"][:8]
+        gt = odometry_run["gt"]
+        bin_dir = tmp_path / "velodyne"
+        bin_dir.mkdir()
+        for i, fr in enumerate(frames):
+            save_kitti_bin(str(bin_dir / f"{i:06d}.bin"), fr["raw"])
+        # frame-0-relative GT (the CLI loop starts at identity)
+        gt_rel = np.linalg.inv(gt[0]) @ gt[: len(frames)]
+        np.savetxt(str(tmp_path / "gt.txt"),
+                   gt_rel[:, :3, :].reshape(len(frames), 12))
+        cfg = tmp_path / "icp.yaml"
+        cfg.write_text("""\
+class_name: mp2p_icp::ICP
+params:
+  maxIterations: 30
+solvers:
+  - class: mp2p_icp::Solver_GaussNewton
+    params: { maxIterations: 3 }
+matchers:
+  - class: mp2p_icp::Matcher_Point2Plane
+    params:
+      distanceThreshold: 1.5
+      knn: 8
+      pointLayerMatches:
+        - { global: "decimated", local: "decimated", weight: 1.0 }
+filters:
+  - class_name: mp2p_icp_filters::FilterDecimateVoxels
+    params:
+      output_pointcloud_layer: "decimated"
+      voxel_filter_resolution: 0.5
+""")
+        out_map = tmp_path / "final.mm.npz"
+        rc = ko_main([
+            "--bin-dir", str(bin_dir), "-c", str(cfg), "--mapping",
+            "--map-capacity", str(1 << 16), "--gt-poses",
+            str(tmp_path / "gt.txt"), "--out-map", str(out_map),
+        ])
+        assert rc == 0
+        mm = load_mm_file(str(out_map))
+        assert int(mm.layers["map"].count) > 2000
