@@ -81,12 +81,13 @@ class OdometryMapper:
         self._seed_jit = None
 
     # ------------------------------------------------------------------
-    def _build_step(self, dt: Optional[float]):
-        """One fused frame program. EVERYTHING is in-trace — including the
-        guess composition (motion-model exp(dt·twist_prev) when ``dt`` is
-        static, else the previous relative pose): on the axon platform each
-        distinct EAGER op remote-compiles its own tiny program (seconds
-        each), so the host loop must touch no jnp math at all."""
+    def _build_step_fn(self, dt: Optional[float]):
+        """One fused frame program (raw traced fn — `_build_step` jits it;
+        BatchedOdometryMapper vmaps it). EVERYTHING is in-trace — including
+        the guess composition (motion-model exp(dt·twist_prev) when ``dt``
+        is static, else the previous relative pose): on the axon platform
+        each distinct EAGER op remote-compiles its own tiny program
+        (seconds each), so the host loop must touch no jnp math at all."""
         matchers = tuple(self.icp.matchers)
         merge = FilterMerge(
             input_pointcloud_layer="__world",
@@ -136,9 +137,12 @@ class OdometryMapper:
             return (new_map, pose, rel_new, res.quality,
                     res.final_pairings.size())
 
+        return step
+
+    def _build_step(self, dt: Optional[float]):
         # donate the map buffer: the rolling 10^6-point map updates in
         # place instead of copying every frame
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(self._build_step_fn(dt), donate_argnums=(0,))
 
     def _get_step(self, dt: Optional[float]):
         key = dt
@@ -266,6 +270,106 @@ class OdometryMapper:
             "scans_per_s": (n - 1) / max(elapsed, 1e-9),
             "qualities": np.asarray(
                 [float(q) for q in qualities], np.float32
+            ),
+        }
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+@dataclasses.dataclass
+class BatchedOdometryMapper:
+    """B INDEPENDENT odometry streams in ONE vmapped program per frame —
+    the TPU deployment shape for fleet/multi-robot mapping.
+
+    A single small-map odometry stream is latency-bound: the padded
+    static shapes do ~constant work per frame while a single-core KD-tree
+    touches only the live points, so one stream on one big chip wastes
+    most of the machine (measured: 14 scans/s TPU vs 37 scans/s C++ on a
+    12-frame street sequence at ~3.5k decimated points). Batching B
+    streams amortises exactly that fixed cost: the same fused step
+    (filters -> scan-to-map align -> merge -> map maintenance) runs under
+    ``jax.vmap`` with per-stream maps/poses/twists, one dispatch per
+    frame index for ALL streams. Greenfield vs the reference (whose
+    answer to fleets is one process per robot).
+    """
+
+    mapper: OdometryMapper
+
+    def __post_init__(self):
+        self._vstep_cache = {}
+
+    def _get_vstep(self, dt):
+        if dt not in self._vstep_cache:
+            fn = self.mapper._build_step_fn(dt)
+            self._vstep_cache[dt] = jax.jit(
+                jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None)),
+                donate_argnums=(0,),
+            )
+        return self._vstep_cache[dt]
+
+    def run(self, streams, twists=None, initial_poses=None,
+            dt: Optional[float] = None):
+        """streams: list of B frame-sequences (equal length); twists:
+        optional list of B per-frame twist sequences. Returns a dict with
+        batched poses [B, N, 4, 4], maps (stacked PointCloud), scans/s
+        aggregated over streams."""
+        m = self.mapper
+        B = len(streams)
+        n = len(streams[0])
+        assert all(len(s) == n for s in streams)
+        vstep = self._get_vstep(dt if twists is not None else None)
+
+        zeros6 = jnp.zeros((6,), jnp.float32)
+
+        def tw(b, i):
+            if twists is None:
+                return zeros6
+            return jnp.asarray(twists[b][i], jnp.float32)
+
+        poses0 = initial_poses or [se3.identity() for _ in range(B)]
+        maps = _stack([
+            m.seed_map(streams[b][0], poses0[b], tw(b, 0))
+            for b in range(B)
+        ])
+        abs_pose = _stack(poses0)
+        rel_prev = _stack([se3.identity() for _ in range(B)])
+        tw_dev = [
+            _stack([tw(b, i) for b in range(B)]) for i in range(n)
+        ]
+        frames_dev = [
+            _stack([streams[b][i] for b in range(B)]) for i in range(n)
+        ]
+        dev_poses = [abs_pose]
+        qualities = []
+        true_dev = jnp.asarray(True)
+        t0 = time.perf_counter()
+        for i in range(1, n):
+            do_merge = (
+                true_dev
+                if (m.merge_every <= 1 or i % m.merge_every == 0)
+                else ~true_dev
+            )
+            maps, abs_pose, rel_prev, q, _np_ = vstep(
+                maps, frames_dev[i], abs_pose, rel_prev, tw_dev[i],
+                tw_dev[i - 1], do_merge,
+            )
+            dev_poses.append(abs_pose)
+            qualities.append(q)
+        _ = float(abs_pose.t[0, 0])  # true sync (axon)
+        elapsed = time.perf_counter() - t0
+
+        mats = np.tile(np.eye(4, dtype=np.float64), (B, n, 1, 1))
+        for i, p in enumerate(dev_poses):
+            mats[:, i, :3, :3] = np.asarray(p.R)
+            mats[:, i, :3, 3] = np.asarray(p.t)
+        return {
+            "poses": mats,
+            "maps": maps,
+            "scans_per_s": B * (n - 1) / max(elapsed, 1e-9),
+            "qualities": np.stack(
+                [np.asarray(q) for q in qualities], axis=1
             ),
         }
 

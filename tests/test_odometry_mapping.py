@@ -256,3 +256,55 @@ filters:
         assert rc == 0
         mm = load_mm_file(str(out_map))
         assert int(mm.layers["map"].count) > 2000
+
+
+class TestBatchedStreams:
+    def test_batched_streams_match_sequential(self, odometry_run):
+        """B=2 independent odometry streams in ONE vmapped program per
+        frame must reproduce the per-stream sequential runs exactly
+        (same step function, vmapped — the fleet/multi-robot TPU
+        deployment shape)."""
+        from mp2p_icp_tpu.odometry import BatchedOdometryMapper
+
+        frames = odometry_run["frames"]
+        twists = odometry_run["twists"]
+        gt = odometry_run["gt"]
+        n = 7
+        streams = [frames[0:n], frames[8:8 + n]]
+        stream_twists = [twists[0:n], twists[8:8 + n]]
+        p0s = [
+            se3.Pose(jnp.asarray(gt[0, :3, :3], jnp.float32),
+                     jnp.asarray(gt[0, :3, 3], jnp.float32)),
+            se3.Pose(jnp.asarray(gt[8, :3, :3], jnp.float32),
+                     jnp.asarray(gt[8, :3, 3], jnp.float32)),
+        ]
+
+        bmapper = BatchedOdometryMapper(_make_mapper())
+        out_b = bmapper.run(
+            streams, twists=stream_twists, initial_poses=p0s, dt=DT
+        )
+        assert out_b["poses"].shape == (2, n, 4, 4)
+
+        for b in range(2):
+            seq = _make_mapper().run(
+                streams[b], twists=stream_twists[b],
+                initial_pose=p0s[b], dt=DT,
+            )
+            np.testing.assert_allclose(
+                out_b["poses"][b], seq["poses"], atol=5e-4,
+            )
+            # same map contents per stream
+            nb = int(np.asarray(out_b["maps"].count)[b])
+            ns = int(seq["map"].count)
+            assert nb == ns
+            np.testing.assert_allclose(
+                np.asarray(out_b["maps"].xyz[b][:nb]),
+                np.asarray(seq["map"].xyz[:ns]),
+                atol=5e-3,
+            )
+        # both streams tracked
+        for b, off in ((0, 0), (1, 8)):
+            errs = np.linalg.norm(
+                out_b["poses"][b, :, :3, 3] - gt[off:off + n, :3, 3], axis=1
+            )
+            assert errs.max() < 0.25, (b, errs.max())
