@@ -196,3 +196,33 @@ def test_debug_functor_and_labels(tmp_path):
     log = load_log(path)
     assert log["local"]["raw"].xyz.shape[0] == 16
     assert log["global"]["raw"].xyz.shape[0] == 16
+
+
+def test_yaml_debug_keys(tmp_path):
+    """The reference's camelCase debug-file YAML keys reach ICPParameters
+    (Parameters.h:66-96 serialization names)."""
+    from mp2p_icp_tpu.pipeline.yaml_loader import load_icp_config_file
+
+    cfg = tmp_path / "icp.yaml"
+    cfg.write_text("""\
+class_name: mp2p_icp::ICP
+params:
+  maxIterations: 7
+  generateDebugFiles: true
+  saveIterationDetails: true
+  decimationIterationDetails: 4
+  decimationDebugFiles: 3
+  debugFileNameFormat: "out/icp-$UNIQUE_ID.icplog.npz"
+solvers:
+  - class: mp2p_icp::Solver_Horn
+    params: ~
+matchers:
+  - class: mp2p_icp::Matcher_Points_DistanceThreshold
+    params: { threshold: 1.0 }
+""")
+    _icp, params, _sections = load_icp_config_file(str(cfg))
+    assert params.generate_debug_files is True
+    assert params.save_iteration_details is True
+    assert params.decimation_iteration_details == 4
+    assert params.decimation_debug_files == 3
+    assert params.debug_file_name_format == "out/icp-$UNIQUE_ID.icplog.npz"
