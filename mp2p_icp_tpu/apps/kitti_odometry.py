@@ -37,11 +37,10 @@ def run_sequence(
     per batch, amortised over B pairs). This is the batched-odometry path
     bench.py measures; the sequential mode mirrors the reference's
     scripts/kitti-run-seq.py icp-run-per-pair procedure."""
-    import jax
     import numpy as np
 
     from mp2p_icp_tpu.core import se3
-    from mp2p_icp_tpu.core.pointcloud import PointCloud, round_capacity
+    from mp2p_icp_tpu.core.pointcloud import round_capacity
     from mp2p_icp_tpu.eval.trajectory import ate_rmse, poses_from_se3, rpe
     from mp2p_icp_tpu.filters import apply_filter_pipeline
     from mp2p_icp_tpu.io.kitti import load_kitti_bin

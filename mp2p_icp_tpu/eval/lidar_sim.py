@@ -171,10 +171,6 @@ def render_spinning_scan(
     time t is range·d in the pose(t) frame but recorded as if the sensor
     had never moved, exactly what a naive driver accumulates and what
     FilterDeskew's exp(t·twist) correction undoes."""
-    from mp2p_icp_tpu.core import se3 as _se3
-
-    import jax.numpy as _jnp
-
     elev = np.deg2rad(
         np.linspace(RING_ELEV_TOP_DEG, RING_ELEV_BOT_DEG, n_rings)
     )

@@ -27,7 +27,6 @@ with robot-pose variables) run over the same estimated poses.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Dict, List, Optional, Sequence
 
