@@ -55,6 +55,11 @@ def main(argv=None):
                     help="save an .icplog.npz record of the run")
     ap.add_argument("--record-iterations", action="store_true",
                     help="store per-iteration poses in the log")
+    ap.add_argument("-d", "--generate-debug-log", action="store_true",
+                    help="enforce generation of the .icplog debug files "
+                         "for icp-log-viewer, overriding the "
+                         "generateDebugFiles value in the YAML (reference "
+                         "icp-run/main.cpp argGenerateDebugFiles)")
     args = ap.parse_args(argv)
 
     import jax
@@ -65,10 +70,16 @@ def main(argv=None):
     from mp2p_icp_tpu.pipeline.yaml_loader import load_icp_config_file
 
     icp, params, sections = load_icp_config_file(args.config)
-    if args.record_iterations:
+    if args.record_iterations or args.generate_debug_log:
         import dataclasses
 
-        params = dataclasses.replace(params, record_iterations=True)
+        if args.record_iterations:
+            params = dataclasses.replace(params, record_iterations=True)
+        if args.generate_debug_log:
+            params = dataclasses.replace(
+                params, generate_debug_files=True,
+                save_iteration_details=True,
+            )
 
     local_mm = load_input_pc(args.input_local)
     global_mm = load_input_pc(args.input_global)

@@ -226,3 +226,38 @@ matchers:
     assert params.decimation_iteration_details == 4
     assert params.decimation_debug_files == 3
     assert params.debug_file_name_format == "out/icp-$UNIQUE_ID.icplog.npz"
+
+
+def test_icp_run_generate_debug_log_flag(tmp_path, monkeypatch):
+    """icp-run -d/--generate-debug-log overrides the YAML (reference
+    icp-run/main.cpp argGenerateDebugFiles)."""
+    from mp2p_icp_tpu.apps.icp_run import main as icp_run_main
+    from mp2p_icp_tpu.io.debug_dump import reset_unique_id_counter
+    from mp2p_icp_tpu.io.mm import save_mm_file
+    from mp2p_icp_tpu.core.metric_map import MetricMap
+
+    reset_unique_id_counter()
+    g, l, _ = _problem(seed=4)
+    gp = tmp_path / "g.mm.npz"
+    lp = tmp_path / "l.mm.npz"
+    save_mm_file(str(gp), MetricMap(layers=dict(g)))
+    save_mm_file(str(lp), MetricMap(layers=dict(l)))
+    cfg = tmp_path / "icp.yaml"
+    cfg.write_text("""\
+class_name: mp2p_icp::ICP
+params:
+  maxIterations: 8
+  debugFileNameFormat: "%s/icp-run-$UNIQUE_ID.icplog.npz"
+solvers:
+  - class: mp2p_icp::Solver_Horn
+    params: ~
+matchers:
+  - class: mp2p_icp::Matcher_Points_DistanceThreshold
+    params: { threshold: 1.5 }
+""" % tmp_path)
+    rc = icp_run_main([
+        "--input-local", str(lp), "--input-global", str(gp),
+        "-c", str(cfg), "-d",
+    ])
+    assert rc == 0
+    assert (tmp_path / "icp-run-00000.icplog.npz").exists()
