@@ -55,6 +55,21 @@ def main(argv=None):
                     help="save an .icplog.npz record of the run")
     ap.add_argument("--record-iterations", action="store_true",
                     help="store per-iteration poses in the log")
+    ap.add_argument("--config-filters-local", default=None,
+                    help="separate YAML file with a 'filters:' pipeline "
+                         "for the LOCAL map (reference icp-run "
+                         "--config-filters-local); overrides the main "
+                         "config's filters for that side")
+    ap.add_argument("--config-filters-global", default=None,
+                    help="separate YAML file with a 'filters:' pipeline "
+                         "for the GLOBAL map")
+    ap.add_argument("--entry-name-filters-local", default=None,
+                    help="section name in the main config holding the "
+                         "LOCAL-map filter pipeline (reference "
+                         "--entry-name-filters-local; default: "
+                         "filters_local_map, then filters)")
+    ap.add_argument("--entry-name-filters-global", default=None,
+                    help="section name for the GLOBAL-map filter pipeline")
     ap.add_argument("-d", "--generate-debug-log", action="store_true",
                     help="enforce generation of the .icplog debug files "
                          "for icp-log-viewer, overriding the "
@@ -84,14 +99,40 @@ def main(argv=None):
     local_mm = load_input_pc(args.input_local)
     global_mm = load_input_pc(args.input_global)
 
-    for sec, mm in (
-        ("filters", local_mm),
-        ("filters", global_mm),
-        ("filters_local_map", local_mm),
-        ("filters_global_map", global_mm),
+    def side_pipeline(cfg_file, entry_name, default_section):
+        """Resolve one side's filter pipeline: a separate YAML file wins,
+        then a named section of the main config, then the defaults
+        (reference icp-run filter-resolution order, main.cpp:62-96)."""
+        if cfg_file:
+            import yaml as _y
+
+            from mp2p_icp_tpu.pipeline.yaml_loader import (
+                filter_pipeline_from_yaml,
+            )
+
+            with open(cfg_file) as f:
+                cfg = _y.safe_load(f)
+            entries = (
+                cfg.get("filters", []) if isinstance(cfg, dict) else cfg
+            )
+            return filter_pipeline_from_yaml(entries)
+        if entry_name:
+            return sections.get(entry_name, [])
+        for sec in (default_section, "filters"):
+            if sec in sections:
+                return sections[sec]
+        return []
+
+    for mm, pipe in (
+        (local_mm, side_pipeline(args.config_filters_local,
+                                 args.entry_name_filters_local,
+                                 "filters_local_map")),
+        (global_mm, side_pipeline(args.config_filters_global,
+                                  args.entry_name_filters_global,
+                                  "filters_global_map")),
     ):
-        if sec in sections:
-            apply_filter_pipeline(sections[sec], mm)
+        if pipe:
+            apply_filter_pipeline(pipe, mm)
 
     g = [float(x) for x in args.guess.split()]
     guess = se3.from_xyz_ypr(*g)

@@ -261,3 +261,45 @@ matchers:
     ])
     assert rc == 0
     assert (tmp_path / "icp-run-00000.icplog.npz").exists()
+
+
+def test_icp_run_side_filter_configs(tmp_path):
+    """--config-filters-local/-global and --entry-name-filters-* resolve
+    per-side pipelines like the reference (icp-run/main.cpp:62-96)."""
+    from mp2p_icp_tpu.apps.icp_run import main as icp_run_main
+    from mp2p_icp_tpu.core.metric_map import MetricMap
+    from mp2p_icp_tpu.io.mm import save_mm_file
+
+    g, l, _ = _problem(seed=6)
+    gp, lp = tmp_path / "g.mm.npz", tmp_path / "l.mm.npz"
+    save_mm_file(str(gp), MetricMap(layers=dict(g)))
+    save_mm_file(str(lp), MetricMap(layers=dict(l)))
+    cfg = tmp_path / "icp.yaml"
+    cfg.write_text("""\
+class_name: mp2p_icp::ICP
+params: { maxIterations: 6 }
+solvers:
+  - class: mp2p_icp::Solver_Horn
+    params: ~
+matchers:
+  - class: mp2p_icp::Matcher_Points_DistanceThreshold
+    params:
+      threshold: 1.5
+      pointLayerMatches:
+        - { global: "decimated", local: "decimated", weight: 1.0 }
+""")
+    fl = tmp_path / "filters.yaml"
+    fl.write_text("""\
+filters:
+  - class_name: mp2p_icp_filters::FilterDecimateVoxels
+    params:
+      output_pointcloud_layer: "decimated"
+      voxel_filter_resolution: 0.6
+""")
+    rc = icp_run_main([
+        "--input-local", str(lp), "--input-global", str(gp),
+        "-c", str(cfg),
+        "--config-filters-local", str(fl),
+        "--config-filters-global", str(fl),
+    ])
+    assert rc == 0
