@@ -44,6 +44,13 @@ class MatcherPoint2Plane(Matcher):
     allow_match_already_matched_points: bool = False
     layer_matches: Tuple[LayerMatch, ...] = (LayerMatch(),)
     k_per_cell: int = 16
+    # TPU-specific: mesh axis name when the global map is spatially
+    # sharded (set by parallel.spatial / SpatialOdometryMapper; SURVEY
+    # §5.7). Each device kNN-sweeps its shard and the merged k-lists
+    # carry neighbour COORDS (NNResult.xyz), which the plane fit consumes
+    # directly — no cross-shard gather is ever needed.
+    spatial_axis: object = None
+    spatial_num_shards: int = 1
 
     def search_radius(self) -> float:
         return self.distance_threshold
@@ -79,9 +86,14 @@ class MatcherPoint2Plane(Matcher):
             res = knn_bruteforce(
                 pts, valid, glayer.xyz, glayer.valid_mask(), k=self.knn,
                 max_radius_sq=self.distance_threshold**2,
+                spatial_axis=self.spatial_axis,
             )
-            safe_g = jnp.clip(res.idx, 0, glayer.capacity - 1)
-            neigh = glayer.xyz[safe_g]
+            if self.spatial_axis is not None:
+                # sharded: idx is cross-shard global; coords ride along
+                neigh = res.xyz
+            else:
+                safe_g = jnp.clip(res.idx, 0, glayer.capacity - 1)
+                neigh = glayer.xyz[safe_g]
             pe = estimate_points_eigen(neigh, res.valid)
             enough = pe.count >= self.min_points_to_fit
             l0, l2 = pe.eigenvalues[:, 0], pe.eigenvalues[:, 2]

@@ -373,6 +373,239 @@ class BatchedOdometryMapper:
         }
 
 
+@dataclasses.dataclass
+class SpatialOdometryMapper:
+    """Map-building odometry with the rolling map SHARDED over the mesh
+    'space' axis — odometry over maps larger than one device's HBM (the
+    multi-chip extension of the flagship loop; SURVEY §5.7).
+
+    - ALIGN: each device sweeps only ITS map shard with the MXU kernel;
+      per-query k-lists merge with one all_gather over ICI
+      (parallel.spatial / ops.nn_bruteforce spatial_axis path).
+    - MERGE: VOXEL-OWNERSHIP routing — a maintenance voxel belongs to the
+      device with ``teschner_hash(cell) % n_shards == shard_index``; each
+      device compacts the frame's owned points into ITS rolling buffer
+      and runs its own FIRST_POINT maintenance. Ownership is a pure
+      function of geometry, so no voxel ever exists on two shards, and
+      the union of the shard maps equals the single-device map's voxel
+      set exactly (asserted in tests/test_odometry_mapping.py).
+
+    Greenfield vs the reference (no distributed backend there); validated
+    on the virtual 8-device CPU mesh like the other sharded paths.
+    """
+
+    mapper: OdometryMapper
+    mesh: object
+    axis: str = "space"
+    # ownership voxel size; MUST match the map-maintenance resolution so
+    # within-shard FIRST_POINT dedup is also globally exact
+    ownership_resolution: float = 0.5
+
+    def __post_init__(self):
+        self._step_cache = {}
+        from jax.sharding import PartitionSpec as P  # noqa: F401
+
+        self._n_shards = int(self.mesh.shape[self.axis])
+
+    def _spatial_matchers(self):
+        adj = []
+        for m_ in self.mapper.icp.matchers:
+            if not hasattr(m_, "spatial_axis"):
+                raise NotImplementedError(
+                    f"{type(m_).__name__} has no spatial_axis support"
+                )
+            kw = {"spatial_axis": self.axis}
+            if hasattr(m_, "spatial_num_shards"):
+                kw["spatial_num_shards"] = self._n_shards
+            adj.append(dataclasses.replace(m_, **kw))
+        return tuple(adj)
+
+    def _build_step(self, dt):
+        from jax.sharding import PartitionSpec as P
+
+        m = self.mapper
+        matchers = self._spatial_matchers()
+        n_shards = self._n_shards
+        axis = self.axis
+        # per-shard rolling buffer: capacity / n_shards each
+        shard_cap = -(-m.map_capacity // n_shards)
+        merge = FilterMerge(
+            input_pointcloud_layer="__world",
+            target_layer=m.map_layer,
+            target_capacity=shard_cap,
+        )
+        # per-shard map maintenance: same filters, shard-sized outputs
+        map_filters = tuple(
+            dataclasses.replace(f, output_capacity=shard_cap)
+            if hasattr(f, "output_capacity") else f
+            for f in m.map_filters
+        )
+        inv_res = 1.0 / self.ownership_resolution
+
+        def body(map_sh, raw_layers, prev_pose, rel_prev, twist,
+                 twist_prev, do_merge):
+            me = jax.lax.axis_index(axis)
+            m_local = jax.tree.map(lambda x: x[0], map_sh)
+            if dt is not None:
+                seed_rel = se3.exp(jnp.float32(dt) * twist_prev)
+            else:
+                seed_rel = rel_prev
+            guess = se3.compose(prev_pose, seed_rel)
+            variables = {
+                "vx": twist[0], "vy": twist[1], "vz": twist[2],
+                "wx": twist[3], "wy": twist[4], "wz": twist[5],
+            }
+            local = apply_filter_pipeline(
+                tuple(m.filters), dict(raw_layers), variables
+            )
+            l_layers = {m.local_layer: local[m.local_layer]}
+            g_local, _ = m.icp._crop_globals(
+                m.params, matchers, {m.map_layer: m_local}, l_layers, guess
+            )
+            res = m.icp._align_core(
+                m.params, matchers, {}, g_local, l_layers, guess, None
+            )
+            pose = res.optimal_tf
+            src = local[m.local_layer]
+            world_xyz = jnp.where(
+                src.valid_mask()[:, None],
+                se3.apply(pose, src.xyz),
+                src.xyz,
+            )
+            src_world = dataclasses.replace(src, xyz=world_xyz)
+            # voxel-ownership routing: keep only points whose maintenance
+            # cell hashes to THIS shard
+            cell = jnp.floor(world_xyz * inv_res).astype(jnp.int32)
+            h = (
+                cell[:, 0] * jnp.int32(73856093)
+                ^ cell[:, 1] * jnp.int32(19349663)
+                ^ cell[:, 2] * jnp.int32(83492791)
+            ) & jnp.int32(0x7FFFFFFF)
+            own = (h % n_shards) == me
+            from mp2p_icp_tpu.filters.common import compact
+
+            src_owned = compact(src_world, own)
+            merged_layers = merge(
+                {"__world": src_owned, m.map_layer: m_local}
+            )
+            merged_layers = apply_filter_pipeline(
+                map_filters, merged_layers, None
+            )
+            merged = merged_layers[m.map_layer]
+            new_map = jax.tree.map(
+                lambda a, b: jnp.where(do_merge, a, b), merged, m_local
+            )
+            new_map = jax.tree.map(lambda x: x[None], new_map)
+            rel_new = se3.compose(se3.inverse(prev_pose), pose)
+            return (new_map, pose, rel_new, res.quality,
+                    res.final_pairings.size())
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P(self.axis), P(), P(), P(), P(), P(), P()),
+                out_specs=(P(self.axis), P(), P(), P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def _get_step(self, dt):
+        if dt not in self._step_cache:
+            self._step_cache[dt] = self._build_step(dt)
+        return self._step_cache[dt]
+
+    def seed_map(self, raw_layers, pose, twist=None):
+        """Sharded frame-0 seed: build the single-device seed, then route
+        each point to its owning shard host-side."""
+        m = self.mapper
+        single = m.seed_map(raw_layers, pose, twist)
+        n = self._n_shards
+        shard_cap = -(-m.map_capacity // n)
+        xyz = np.asarray(single.xyz)
+        valid = np.asarray(single.valid_mask())
+        cell = np.floor(xyz * (1.0 / self.ownership_resolution)).astype(
+            np.int64
+        )
+        h = (
+            cell[:, 0] * 73856093 ^ cell[:, 1] * 19349663
+            ^ cell[:, 2] * 83492791
+        ) & 0x7FFFFFFF
+        owner = (h % n).astype(np.int32)
+        out_xyz = np.full((n, shard_cap, 3), PointCloud.PAD_VALUE,
+                          np.float32)
+        counts = np.zeros((n,), np.int32)
+        chans = {}
+        for name in ("intensity", "ring", "time"):
+            ch = getattr(single, name)
+            if ch is not None:
+                chans[name] = (np.asarray(ch),
+                               np.zeros((n, shard_cap), np.float32))
+        for s in range(n):
+            sel = valid & (owner == s)
+            k = min(int(sel.sum()), shard_cap)
+            idx = np.flatnonzero(sel)[:k]
+            out_xyz[s, :k] = xyz[idx]
+            counts[s] = k
+            for name, (src_ch, dst) in chans.items():
+                dst[s, :k] = src_ch[idx]
+        return PointCloud(
+            xyz=jnp.asarray(out_xyz),
+            count=jnp.asarray(counts),
+            **{k: jnp.asarray(v[1]) for k, v in chans.items()},
+        )
+
+    def run(self, frames, twists=None, initial_pose=None, dt=None):
+        """Same contract as OdometryMapper.run; 'map' in the result is the
+        SHARDED PointCloud ([n_shards, shard_cap, ...])."""
+        m = self.mapper
+        step = self._get_step(dt if twists is not None else None)
+        n = len(frames)
+        zeros6 = jnp.zeros((6,), jnp.float32)
+
+        def twist_of(i):
+            return (
+                zeros6 if twists is None
+                else jnp.asarray(twists[i], jnp.float32)
+            )
+
+        pose0 = initial_pose or se3.identity()
+        map_sh = self.seed_map(frames[0], pose0, twist_of(0))
+        abs_pose = pose0
+        rel_prev = se3.identity()
+        dev_poses = [pose0]
+        qualities = []
+        true_dev = jnp.asarray(True)
+        t0 = time.perf_counter()
+        for i in range(1, n):
+            do_merge = (
+                true_dev
+                if (m.merge_every <= 1 or i % m.merge_every == 0)
+                else ~true_dev
+            )
+            map_sh, abs_pose, rel_prev, q, _np_ = step(
+                map_sh, frames[i], abs_pose, rel_prev, twist_of(i),
+                twist_of(i - 1), do_merge,
+            )
+            dev_poses.append(abs_pose)
+            qualities.append(q)
+        _ = float(abs_pose.t[0])
+        elapsed = time.perf_counter() - t0
+        mats = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+        for i, p in enumerate(dev_poses):
+            mats[i, :3, :3] = np.asarray(p.R)
+            mats[i, :3, 3] = np.asarray(p.t)
+        return {
+            "poses": mats,
+            "map": map_sh,
+            "scans_per_s": (n - 1) / max(elapsed, 1e-9),
+            "qualities": np.asarray(
+                [float(q) for q in qualities], np.float32
+            ),
+        }
+
+
 def reference_pipeline_map(
     mapper: OdometryMapper,
     frames: Sequence[Dict[str, PointCloud]],

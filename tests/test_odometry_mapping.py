@@ -308,3 +308,63 @@ class TestBatchedStreams:
                 out_b["poses"][b, :, :3, 3] - gt[off:off + n, :3, 3], axis=1
             )
             assert errs.max() < 0.25, (b, errs.max())
+
+
+class TestSpatialShardedOdometry:
+    def test_spatial_mapper_tracks_and_partitions(self, odometry_run):
+        """The mapping loop with the rolling map sharded over a 4-device
+        'space' mesh: per-shard MXU sweeps + all_gather k-merge for the
+        align; voxel-OWNERSHIP-routed merges (hash(cell) % n_shards).
+        Gates: tracking ATE, exact cross-shard disjointness + ownership,
+        and near-identity of the voxel set vs the single-device run."""
+        import jax
+        from jax.sharding import Mesh
+
+        from mp2p_icp_tpu.odometry import SpatialOdometryMapper
+
+        frames = odometry_run["frames"][:10]
+        twists = odometry_run["twists"][:10]
+        gt = odometry_run["gt"]
+        p0 = se3.Pose(
+            jnp.asarray(gt[0, :3, :3], jnp.float32),
+            jnp.asarray(gt[0, :3, 3], jnp.float32),
+        )
+        n_shards = 4
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), ("space",))
+        sm = SpatialOdometryMapper(
+            mapper=_make_mapper(), mesh=mesh, ownership_resolution=0.5
+        )
+        out = sm.run(frames, twists=twists, dt=DT, initial_pose=p0)
+        assert ate_rmse(out["poses"], gt[:10]) < 0.25
+        assert (out["qualities"] > 0.3).all()
+
+        # shard maps: ownership + disjointness are EXACT by construction
+        msh = out["map"]
+        vox_sets = []
+        for s in range(n_shards):
+            ns = int(np.asarray(msh.count)[s])
+            xyz = np.asarray(msh.xyz[s][:ns])
+            cell = np.floor(xyz / 0.5).astype(np.int64)
+            h = (
+                cell[:, 0] * 73856093 ^ cell[:, 1] * 19349663
+                ^ cell[:, 2] * 83492791
+            ) & 0x7FFFFFFF
+            assert (h % n_shards == s).all(), f"shard {s} owns a foreign voxel"
+            vox_sets.append({tuple(c) for c in cell})
+        for a in range(n_shards):
+            for b in range(a + 1, n_shards):
+                assert not (vox_sets[a] & vox_sets[b])
+
+        # voxel-set agreement with the single-device run (poses differ at
+        # tie level, so demand high Jaccard, not equality)
+        seq = _make_mapper().run(
+            frames, twists=twists, dt=DT, initial_pose=p0
+        )
+        nseq = int(seq["map"].count)
+        cell1 = np.floor(np.asarray(seq["map"].xyz[:nseq]) / 0.5).astype(
+            np.int64
+        )
+        set1 = {tuple(c) for c in cell1}
+        union = set().union(*vox_sets)
+        jac = len(set1 & union) / max(len(set1 | union), 1)
+        assert jac > 0.9, jac
