@@ -616,11 +616,14 @@ def main():
 
             icp_o = ICP(
                 matchers=[MatcherPoint2Plane(
-                    # knn=6: plane fits need >=4 points; each extra k
-                    # costs ~2 VPU passes per kernel block (k-extract +
-                    # merge), and the odometry NN is VPU-bound at these
-                    # shapes
-                    distance_threshold=1.5, knn=6,
+                    # plane-capable map mode (r5): the map carries
+                    # per-point normals fitted ONCE per frame against the
+                    # accumulated neighbourhood (OdometryMapper
+                    # normals_knn); each ICP iteration is then a k=1 NN +
+                    # normal gather instead of a k=6 NN + eigen re-fit
+                    # (measured 2.7 -> 0.6 ms/iter; under vmap 10.5 ->
+                    # 0.5 ms — the batched-mode enabler)
+                    distance_threshold=1.5, use_point_normals=True,
                     layer_matches=(LayerMatch(
                         global_layer="map", local_layer="decimated"),),
                 )],
@@ -645,14 +648,24 @@ def main():
                         # tree at this (small) map scale
                         voxel_filter_resolution=0.5,
                         output_capacity=6144,
+                        # hash FirstPoint: O(n) scratch-table decimation
+                        # instead of a 64k bitonic sort (r4's largest
+                        # per-frame cost, ~6 ms — scripts/profile_odometry)
+                        backend=os.environ.get("MP2P_ODO_DEC_BACKEND", "sort"),
                     ),
                 ],
-                map_filters=[FilterDecimateVoxels(
+                # incremental voxel-hash map maintenance: merge + FirstPoint
+                # dedup as an O(n_new) insert instead of a map-capacity sort
+                # per frame (same winners as the r4 map_filters config —
+                # tests/test_odometry_mapping.py::TestIncrementalHashMap)
+                incremental_map_resolution=(0.5 if os.environ.get("MP2P_ODO_INC_MAP", "1") == "1" else None),
+                normals_knn=8, normals_radius=1.5,
+                map_filters=([] if os.environ.get("MP2P_ODO_INC_MAP", "1") == "1" else [FilterDecimateVoxels(
                     input_pointcloud_layer=("map",),
                     output_pointcloud_layer="map",
                     voxel_filter_resolution=0.5,
                     output_capacity=1 << 15,
-                )],
+                )]),
                 # the voxel-bounded map holds ~13.6k points over this
                 # 36-frame street window: capacity 2^15 (2.4x headroom).
                 # Oversizing to 2^18 made every per-frame crop argsort and

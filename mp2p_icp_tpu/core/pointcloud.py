@@ -46,6 +46,10 @@ class PointCloud:
     intensity: Optional[jax.Array] = None
     ring: Optional[jax.Array] = None
     time: Optional[jax.Array] = None
+    # optional per-point unit normals [C, 3] (zeros = no reliable plane);
+    # the TPU analogue of the reference's plane-capable maps
+    # (NearestPlaneCapable / NDT voxel maps) — see ops/normals.py
+    normals: Optional[jax.Array] = None
 
     PAD_VALUE = 1.0e8  # sentinel coordinate for padding rows
 
@@ -110,12 +114,18 @@ class PointCloud:
         return mn, mx
 
     def transformed(self, pose) -> "PointCloud":
-        """Rigidly transform valid points (padding rows stay at sentinel)."""
+        """Rigidly transform valid points (padding rows stay at sentinel);
+        normals rotate with the pose."""
         from mp2p_icp_tpu.core import se3
 
         new_xyz = se3.apply(pose, self.xyz)
         new_xyz = jnp.where(self.valid_mask()[:, None], new_xyz, self.xyz)
-        return dataclasses.replace(self, xyz=new_xyz)
+        nrm = self.normals
+        if nrm is not None:
+            nrm = jnp.where(
+                self.valid_mask()[:, None], nrm @ pose.R.T, nrm
+            )
+        return dataclasses.replace(self, xyz=new_xyz, normals=nrm)
 
     def with_points(self, xyz: jax.Array, count: jax.Array) -> "PointCloud":
         return dataclasses.replace(self, xyz=xyz, count=count)
@@ -124,7 +134,7 @@ class PointCloud:
 def sanity_check(pc: PointCloud) -> bool:
     """Channel-length validation (reference: pointcloud_sanity_check.cpp:27-76).
     With static SoA shapes this reduces to capacity equality checks."""
-    for ch in (pc.intensity, pc.ring, pc.time):
+    for ch in (pc.intensity, pc.ring, pc.time, pc.normals):
         if ch is not None and ch.shape[0] != pc.capacity:
             return False
     return int(pc.count) <= pc.capacity

@@ -16,4 +16,7 @@ from mp2p_icp_tpu.filters.adjust_timestamps import (  # noqa: F401
     TimestampAdjustMethod,
 )
 from mp2p_icp_tpu.filters.merge import FilterMerge  # noqa: F401
+from mp2p_icp_tpu.filters.estimate_normals import (  # noqa: F401
+    FilterEstimateNormals,
+)
 from mp2p_icp_tpu.filters.delete_layer import FilterDeleteLayer  # noqa: F401

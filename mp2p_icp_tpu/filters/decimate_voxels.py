@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from mp2p_icp_tpu.core.pointcloud import PointCloud
 from mp2p_icp_tpu.filters.base import FilterBase
-from mp2p_icp_tpu.ops.voxel_unique import voxel_segments
+from mp2p_icp_tpu.ops.voxel_unique import first_point_select, voxel_segments
 
 
 class DecimateMethod(enum.Enum):
@@ -51,8 +51,16 @@ class FilterDecimateVoxels(FilterBase):
     flatten_to: Optional[float] = None  # z value for 2-D projection mode
     minimum_input_points_to_filter: int = 0
     output_capacity: Optional[int] = None  # default: input capacity
+    # 'sort' = lexicographic voxel sort (any method; output voxel-sorted);
+    # 'hash' = scratch hash table (FIRST_POINT only; output in input
+    # order — the reference's own insertion order,
+    # FilterDecimateVoxels.cpp:244-270 — and O(n) instead of a full-
+    # capacity bitonic sort; the odometry fast path)
+    backend: str = "sort"
 
     def __call__(self, layers: Dict[str, PointCloud], variables=None):
+        if self.backend == "hash":
+            return self._call_hash(layers)
         inputs = [layers[name] for name in self.input_pointcloud_layer]
         xyz = jnp.concatenate([pc.xyz for pc in inputs], axis=0)
         valid = jnp.concatenate([pc.valid_mask() for pc in inputs], axis=0)
@@ -88,6 +96,22 @@ class FilterDecimateVoxels(FilterBase):
             ])
             valid_decim = valid & ~bypass_pt
 
+        method = self.decimate_method
+        if method == DecimateMethod.FIRST_POINT:
+            # scatter-free fast path (stable sort + searchsorted — see
+            # ops.voxel_unique.first_point_select; winner = lowest input
+            # index, identical to the segment-argmin it replaced); also
+            # vmap-safe via its custom_vmap flat-sort rule
+            src, n = first_point_select(
+                xyz, valid_decim, self.voxel_filter_resolution,
+                out_cap, flatten_z=self.flatten_to is not None,
+            )
+            out_xyz_all = xyz[jnp.clip(src, 0, C - 1)]  # [out_cap, 3]
+            return self._emit(
+                layers, inputs, xyz, valid, src, out_xyz_all, n, out_cap, C,
+                bypass_pt,
+            )
+
         segs = voxel_segments(
             xyz, valid_decim, self.voxel_filter_resolution,
             flatten_z=self.flatten_to is not None,
@@ -95,13 +119,7 @@ class FilterDecimateVoxels(FilterBase):
         xyz_sorted = xyz[segs.order]
         seg = segs.segment_id
 
-        method = self.decimate_method
-        if method == DecimateMethod.FIRST_POINT:
-            src = self._segment_argmin(
-                seg, segs.order.astype(jnp.float32), segs.valid, segs.order, C
-            )
-            out_xyz_all = xyz[src]
-        elif method == DecimateMethod.RANDOM_POINT:
+        if method == DecimateMethod.RANDOM_POINT:
             # deterministic pseudo-random pick: minimize a hash of the index
             h = (
                 (segs.order.astype(jnp.uint32) * jnp.uint32(2654435761))
@@ -128,12 +146,21 @@ class FilterDecimateVoxels(FilterBase):
             src = self._segment_argmin(seg, d, segs.valid, segs.order, C)
             out_xyz_all = xyz[src]
 
-        n = segs.n_voxels
+        return self._emit(
+            layers, inputs, xyz, valid, src, out_xyz_all, segs.n_voxels,
+            out_cap, C, bypass_pt,
+        )
+
+    def _emit(self, layers, inputs, xyz, valid, src, out_xyz_all, n,
+              out_cap, C, bypass_pt):
+        """Shared output assembly: take the first min(n, out_cap) voxel
+        reps, ride channels, append bypassed maps."""
         take = jnp.arange(out_cap)
         out_valid = take < n
+        src_rows = out_xyz_all.shape[0]  # C (segment paths) or out_cap
         out_xyz = jnp.where(
             out_valid[:, None],
-            out_xyz_all[jnp.clip(take, 0, C - 1)],
+            out_xyz_all[jnp.clip(take, 0, src_rows - 1)],
             PointCloud.PAD_VALUE,
         )
 
@@ -200,6 +227,45 @@ class FilterDecimateVoxels(FilterBase):
         new_layers[self.output_pointcloud_layer] = out
         return new_layers
 
+    def _call_hash(self, layers: Dict[str, PointCloud]):
+        if self.decimate_method != DecimateMethod.FIRST_POINT:
+            raise ValueError(
+                "backend='hash' supports FIRST_POINT only (got "
+                f"{self.decimate_method})"
+            )
+        if self.flatten_to is not None:
+            raise ValueError("backend='hash' does not support flatten_to")
+        if self.minimum_input_points_to_filter > 0:
+            raise ValueError(
+                "backend='hash' does not support "
+                "minimum_input_points_to_filter"
+            )
+        from mp2p_icp_tpu.ops.voxel_hash_map import (
+            hash_decimate_first_point,
+        )
+
+        inputs = [layers[name] for name in self.input_pointcloud_layer]
+        if len(inputs) == 1:
+            src = inputs[0]
+            valid = src.valid_mask()
+        else:
+            # concat inputs; channels only ride the single-input case
+            # (same contract as the sort backend)
+            src = PointCloud(
+                xyz=jnp.concatenate([pc.xyz for pc in inputs], axis=0),
+                count=sum(pc.count for pc in inputs),
+            )
+            valid = jnp.concatenate(
+                [pc.valid_mask() for pc in inputs], axis=0
+            )
+        out_cap = self.output_capacity or src.capacity
+        out = hash_decimate_first_point(
+            src, self.voxel_filter_resolution, out_cap, valid=valid
+        )
+        new_layers = dict(layers)
+        new_layers[self.output_pointcloud_layer] = out
+        return new_layers
+
     @staticmethod
     def _segment_argmin(seg, values, valid, order, num_segments):
         """ORIGINAL-point index minimising `values` within each segment
@@ -221,5 +287,8 @@ class FilterDecimateVoxels(FilterBase):
     def _gather_channel(ch, src, take, out_valid, C):
         if ch is None:
             return None
-        all_vals = ch[src]
-        return jnp.where(out_valid, all_vals[jnp.clip(take, 0, C - 1)], 0.0)
+        all_vals = ch[jnp.clip(src, 0, ch.shape[0] - 1)]
+        rows = all_vals.shape[0]  # C (segment paths) or out_cap
+        return jnp.where(
+            out_valid, all_vals[jnp.clip(take, 0, rows - 1)], 0.0
+        )

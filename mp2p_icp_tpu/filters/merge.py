@@ -89,11 +89,36 @@ class FilterMerge(FilterBase):
                 .set(s)[:C]
             )
 
+        def merge_ch3(t_ch, s_ch):
+            if t_ch is None and s_ch is None:
+                return None
+            t = (
+                t_ch if t_ch is not None
+                else jnp.zeros((C, 3), jnp.float32)
+            )
+            s = (
+                s_ch if s_ch is not None
+                else jnp.zeros((src.capacity, 3), jnp.float32)
+            )
+            return (
+                jnp.concatenate([t, jnp.zeros((1, 3), t.dtype)])
+                .at[dest]
+                .set(s)[:C]
+            )
+
+        # normals rotate with the robot pose when one was applied
+        src_normals = src.normals
+        if src_normals is not None and self.use_robot_pose and variables:
+            src_normals = jnp.where(
+                src.valid_mask()[:, None], src_normals @ pose.R.T,
+                src_normals,
+            )
         out[self.target_layer] = PointCloud(
             xyz=new_xyz,
             count=n_new,
             intensity=merge_ch(target.intensity, src.intensity),
             ring=merge_ch(target.ring, src.ring),
             time=merge_ch(target.time, src.time),
+            normals=merge_ch3(target.normals, src_normals),
         )
         return out

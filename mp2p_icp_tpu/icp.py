@@ -477,6 +477,10 @@ class ICP:
                 intensity=take_ch(g.intensity),
                 ring=take_ch(g.ring),
                 time=take_ch(g.time),
+                normals=(
+                    None if g.normals is None
+                    else jnp.where(keep[:, None], g.normals[order], 0.0)
+                ),
             )
             index_maps[name] = jnp.where(
                 keep, order.astype(jnp.int32), -1

@@ -44,6 +44,15 @@ class MatcherPoint2Plane(Matcher):
     allow_match_already_matched_points: bool = False
     layer_matches: Tuple[LayerMatch, ...] = (LayerMatch(),)
     k_per_cell: int = 16
+    # Use the global layer's PRECOMPUTED per-point normals (PointCloud.
+    # normals, ops/normals.py) instead of re-fitting a plane from the kNN
+    # neighbourhood every iteration: per-iteration work drops to a k=1 NN
+    # + gather. This mirrors the reference's actual Matcher_Point2Plane
+    # contract — it queries a plane-capable MAP for the nearest plane
+    # (NearestPlaneCapable, Matcher_Point2Plane.cpp:41-114) whose plane
+    # fits were precomputed at insertion; the knn re-fit above is the
+    # fallback for maps without normals.
+    use_point_normals: bool = False
     # TPU-specific: mesh axis name when the global map is spatially
     # sharded (set by parallel.spatial / SpatialOdometryMapper; SURVEY
     # §5.7). Each device kNN-sweeps its shard and the merged k-lists
@@ -82,6 +91,49 @@ class MatcherPoint2Plane(Matcher):
             potential = potential + local.count * gate.astype(jnp.int32)
             if state is not None and not self.allow_match_already_matched_points:
                 valid = valid & ~state.local_paired[lm.local_layer]
+
+            if self.use_point_normals:
+                if glayer.normals is None:
+                    raise ValueError(
+                        "use_point_normals=True but global layer "
+                        f"'{lm.global_layer}' has no normals channel — "
+                        "run FilterEstimateNormals / ops.normals first"
+                    )
+                if self.spatial_axis is not None:
+                    raise NotImplementedError(
+                        "use_point_normals under spatial sharding needs "
+                        "normal-carrying k-lists; use the knn-fit path"
+                    )
+                # nearest-plane query on a plane-capable map: k=1 NN,
+                # plane = (neighbour point, its stored normal)
+                res = knn_bruteforce(
+                    pts, valid, glayer.xyz, glayer.valid_mask(), k=1,
+                    max_radius_sq=self.distance_threshold**2,
+                )
+                g_idx = jnp.clip(res.idx[:, 0], 0, glayer.capacity - 1)
+                centroid = glayer.xyz[g_idx]
+                normal = glayer.normals[g_idx]
+                has_plane = jnp.sum(normal * normal, axis=-1) > 0.5
+                keep = valid & res.valid[:, 0] & has_plane
+                w = jnp.where(keep, lm.weight * gate, 0.0)
+                blocks.append(
+                    PairsPt2Pl(
+                        local=local.xyz,
+                        plane_centroid=centroid,
+                        plane_normal=normal,
+                        weight=w,
+                        local_idx=jnp.where(
+                            w > 0,
+                            jnp.arange(local.capacity, dtype=jnp.int32),
+                            -1,
+                        ),
+                    )
+                )
+                if state is not None:
+                    new_local[lm.local_layer] = (
+                        state.local_paired[lm.local_layer] | (w > 0)
+                    )
+                continue
 
             res = knn_bruteforce(
                 pts, valid, glayer.xyz, glayer.valid_mask(), k=self.knn,

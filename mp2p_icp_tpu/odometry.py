@@ -74,10 +74,42 @@ class OdometryMapper:
     # (measured: ATE 0.33 -> 0.04 on the street sequence), and it bounds
     # the map at one point per voxel.
     map_filters: Sequence = ()
+    # INCREMENTAL map maintenance (ops/voxel_hash_map.py): when set, the
+    # rolling map is a voxel hash map at this resolution — merge +
+    # FirstPoint maintenance become an O(n_new) hash insert instead of a
+    # full map-capacity sort every frame (the r4 bottleneck; BASELINE.md
+    # r4 decomposition). Semantically identical to map_filters =
+    # [FilterDecimateVoxels(FIRST_POINT, resolution)] (same winner per
+    # voxel: the earliest-merged point); mutually exclusive with
+    # map_filters.
+    incremental_map_resolution: Optional[float] = None
+    map_table_size: Optional[int] = None
+    # Fit per-point normals for newly merged map points against the
+    # ACCUMULATED map + the new scan (ops/normals.py). Multi-sweep
+    # neighbourhoods are better conditioned than a single scan's (ring
+    # collinearity), and the fit runs ONCE per frame instead of per ICP
+    # iteration — pair with MatcherPoint2Plane(use_point_normals=True),
+    # the reference's plane-capable-map contract. 0 = off.
+    normals_knn: int = 0
+    normals_radius: float = 1.5
+    normals_eigen_threshold: float = 1e-2
 
     def __post_init__(self):
         self._step_cache = {}
         self._seed_jit = None
+        if self.incremental_map_resolution is not None and self.map_filters:
+            raise ValueError(
+                "incremental_map_resolution replaces map_filters — "
+                "configure one or the other"
+            )
+
+    @property
+    def _incremental(self) -> bool:
+        return self.incremental_map_resolution is not None
+
+    def _map_pc(self, map_state):
+        """The align-facing PointCloud view of the map state."""
+        return map_state.pc if self._incremental else map_state
 
     # ------------------------------------------------------------------
     def _build_step_fn(self, dt: Optional[float]):
@@ -94,9 +126,12 @@ class OdometryMapper:
             target_capacity=self.map_capacity,
         )
 
-        def step(map_pc, raw_layers, prev_pose, rel_prev, twist,
+        def step(map_state, raw_layers, prev_pose, rel_prev, twist,
                  twist_prev, do_merge):
-            """-> (new_map, new_pose, rel_new, quality, n_pairings)."""
+            """-> (new_map_state, new_pose, rel_new, quality, n_pairings).
+            map_state is a PointCloud (sort-maintenance mode) or a
+            VoxelHashMapState (incremental mode)."""
+            map_pc = self._map_pc(map_state)
             if dt is not None:
                 seed_rel = se3.exp(jnp.float32(dt) * twist_prev)
             else:
@@ -116,21 +151,42 @@ class OdometryMapper:
             )
             pose = res.optimal_tf
             src = local[self.local_layer]
-            world_xyz = jnp.where(
-                src.valid_mask()[:, None],
-                se3.apply(pose, src.xyz),
-                src.xyz,
-            )
-            src_world = dataclasses.replace(src, xyz=world_xyz)
-            merged_layers = merge(
-                {"__world": src_world, self.map_layer: map_pc}
-            )
-            merged_layers = apply_filter_pipeline(
-                tuple(self.map_filters), merged_layers, None
-            )
-            merged = merged_layers[self.map_layer]
+            # world transform; normals (if FilterEstimateNormals ran)
+            # rotate with the pose
+            src_world = src.transformed(pose)
+            if self.normals_knn:
+                from mp2p_icp_tpu.ops.normals import estimate_point_normals
+
+                cand = PointCloud(
+                    xyz=jnp.concatenate([map_pc.xyz, src_world.xyz]),
+                    count=map_pc.count + src_world.count,
+                )
+                src_world = estimate_point_normals(
+                    src_world,
+                    knn=self.normals_knn,
+                    max_radius=self.normals_radius,
+                    plane_eigen_threshold=self.normals_eigen_threshold,
+                    source=cand,
+                    source_valid=jnp.concatenate(
+                        [map_pc.valid_mask(), src_world.valid_mask()]
+                    ),
+                )
+            if self._incremental:
+                from mp2p_icp_tpu.ops.voxel_hash_map import hash_map_insert
+
+                merged = hash_map_insert(
+                    map_state, src_world, self.incremental_map_resolution
+                )
+            else:
+                merged_layers = merge(
+                    {"__world": src_world, self.map_layer: map_pc}
+                )
+                merged_layers = apply_filter_pipeline(
+                    tuple(self.map_filters), merged_layers, None
+                )
+                merged = merged_layers[self.map_layer]
             new_map = jax.tree.map(
-                lambda a, b: jnp.where(do_merge, a, b), merged, map_pc
+                lambda a, b: jnp.where(do_merge, a, b), merged, map_state
             )
             rel_new = se3.compose(se3.inverse(prev_pose), pose)
             return (new_map, pose, rel_new, res.quality,
@@ -152,7 +208,8 @@ class OdometryMapper:
     # ------------------------------------------------------------------
     def seed_map(self, raw_layers, pose: Pose, twist=None) -> PointCloud:
         """Initialise the map from frame 0 (filtered, world-transformed).
-        Jitted as one program (eager ops each remote-compile on axon)."""
+        Jitted as one program (eager ops each remote-compile on axon).
+        Incremental mode returns a VoxelHashMapState."""
         if self._seed_jit is None:
             merge = FilterMerge(
                 input_pointcloud_layer="__world",
@@ -169,14 +226,36 @@ class OdometryMapper:
                     tuple(self.filters), dict(raw_layers), variables
                 )
                 src = local[self.local_layer]
-                world_xyz = jnp.where(
-                    src.valid_mask()[:, None],
-                    se3.apply(pose, src.xyz),
-                    src.xyz,
-                )
-                layers = merge(
-                    {"__world": dataclasses.replace(src, xyz=world_xyz)}
-                )
+                src_world = src.transformed(pose)
+                if self.normals_knn:
+                    from mp2p_icp_tpu.ops.normals import (
+                        estimate_point_normals,
+                    )
+
+                    # frame 0: only the scan itself is available
+                    src_world = estimate_point_normals(
+                        src_world,
+                        knn=self.normals_knn,
+                        max_radius=self.normals_radius,
+                        plane_eigen_threshold=self.normals_eigen_threshold,
+                    )
+                if self._incremental:
+                    from mp2p_icp_tpu.ops.voxel_hash_map import (
+                        empty_voxel_hash_map, hash_map_insert,
+                    )
+
+                    st = empty_voxel_hash_map(
+                        self.map_capacity,
+                        table_size=self.map_table_size,
+                        intensity=src.intensity is not None,
+                        ring=src.ring is not None,
+                        time=src.time is not None,
+                        normals=src.normals is not None,
+                    )
+                    return hash_map_insert(
+                        st, src_world, self.incremental_map_resolution
+                    )
+                layers = merge({"__world": src_world})
                 layers = apply_filter_pipeline(
                     tuple(self.map_filters), layers, None
                 )
@@ -265,7 +344,8 @@ class OdometryMapper:
             mats[i, :3, 3] = np.asarray(p.t)
         return {
             "poses": mats,
-            "map": map_pc,
+            "map": self._map_pc(map_pc),
+            "map_state": map_pc,
             "scans_per_s": (n - 1) / max(elapsed, 1e-9),
             "qualities": np.asarray(
                 [float(q) for q in qualities], np.float32
@@ -365,7 +445,8 @@ class BatchedOdometryMapper:
             mats[:, i, :3, 3] = np.asarray(p.t)
         return {
             "poses": mats,
-            "maps": maps,
+            "maps": m._map_pc(maps),
+            "map_states": maps,
             "scans_per_s": B * (n - 1) / max(elapsed, 1e-9),
             "qualities": np.stack(
                 [np.asarray(q) for q in qualities], axis=1

@@ -32,6 +32,7 @@ from mp2p_icp_tpu.filters import (
     FilterDeleteLayer,
     FilterDeskew,
     FilterMerge,
+    FilterEstimateNormals,
     FilterNormalizeIntensity,
 )
 from mp2p_icp_tpu.filters.adjust_timestamps import TimestampAdjustMethod
@@ -156,6 +157,10 @@ def _build_matcher_point2plane(p: dict):
         knn=int(_num(p.get("knn", 7))),
         plane_eigen_threshold=float(_num(p.get("planeEigenThreshold", 0.01))),
         min_points_to_fit=int(_num(p.get("minimumPlanePoints", 4))),
+        # plane-capable-map mode: consume the global layer's precomputed
+        # normals channel (ops/normals.py) instead of re-fitting per
+        # iteration — the reference's NearestPlaneCapable contract
+        use_point_normals=bool(p.get("usePointNormals", False)),
         layer_matches=_layer_matches(p),
         **_gating(p),
     )
@@ -412,6 +417,21 @@ _FILTERS: Dict[str, Callable] = {
     "FilterBoundingBox": _build_filter_bbox,
     "FilterDeskew": _build_filter_deskew,
     "FilterMerge": _build_filter_merge,
+    "FilterEstimateNormals": lambda p, variables=None: (
+        FilterEstimateNormals(
+            input_pointcloud_layer=p.get(
+                "input_pointcloud_layer", "decimated"
+            ),
+            output_pointcloud_layer=p.get("output_pointcloud_layer", ""),
+            source_pointcloud_layer=p.get("source_pointcloud_layer", ""),
+            knn=int(_num(p.get("knn", 8))),
+            max_radius=float(_num(p.get("max_radius", 2.0))),
+            plane_eigen_threshold=float(
+                _num(p.get("planeEigenThreshold", 0.01))
+            ),
+            min_points_to_fit=int(_num(p.get("minimumPlanePoints", 4))),
+        )
+    ),
     "FilterDeleteLayer": _build_filter_delete,
     "FilterByRing": lambda p, variables=None: FilterByRing(
         input_pointcloud_layer=p.get("input_pointcloud_layer", "raw"),

@@ -201,6 +201,32 @@ class TestDeskew:
         out = FilterDeskew(silently_ignore_no_timestamps=True)({"raw": pc})
         assert "deskewed" in out
 
+    def test_fixed_axis_fast_path_equals_generic_exp(self):
+        """The constant-twist branch uses closed-form fixed-axis Rodrigues
+        instead of per-point se3.exp matrices — must agree to float
+        precision with the generic path on a dense random cloud."""
+        from mp2p_icp_tpu.core import se3 as se3m
+
+        rng = np.random.RandomState(0)
+        n = 500
+        xyz = rng.randn(n, 3).astype(np.float32) * 10.0
+        t = rng.rand(n).astype(np.float32) * 0.1 - 0.05
+        pc = cloud(xyz, time=t)
+        twist = (6.0, 0.3, -0.1, 0.2, -0.15, 0.8)
+        out = FilterDeskew(twist=twist)({"raw": pc})["deskewed"]
+        # generic oracle: per-point exp(t * xi) applied via matrices
+        tang = t[:, None] * np.asarray(twist, np.float32)[None, :]
+        poses = se3m.exp(jnp.asarray(tang))
+        want = np.einsum("cij,cj->ci", np.asarray(poses.R), xyz) + np.asarray(
+            poses.t
+        )
+        np.testing.assert_allclose(out.to_numpy(), want, atol=2e-5)
+
+    def test_fast_path_zero_rotation(self):
+        pc = cloud([[1.0, 2.0, 3.0]], time=[0.5])
+        out = FilterDeskew(twist=(2, 0, 0, 0, 0, 0))({"raw": pc})["deskewed"]
+        np.testing.assert_allclose(out.to_numpy(), [[2, 2, 3]], atol=1e-6)
+
 
 class TestTimestamps:
     def test_middle_is_zero(self):

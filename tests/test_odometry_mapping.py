@@ -310,6 +310,98 @@ class TestBatchedStreams:
             assert errs.max() < 0.25, (b, errs.max())
 
 
+class TestIncrementalHashMap:
+    def test_incremental_mode_matches_sort_maintenance(self, odometry_run):
+        """incremental_map_resolution (ops/voxel_hash_map.py) replaces the
+        per-frame map-capacity sort with an O(n_new) hash insert. The
+        FirstPoint winner per voxel (earliest merged point) is the same
+        in both modes, so the trajectory and the map voxel set must
+        agree with the sort-maintenance run."""
+        frames = odometry_run["frames"]
+        twists = odometry_run["twists"]
+        gt = odometry_run["gt"]
+        base = _make_mapper()
+        inc = OdometryMapper(
+            icp=base.icp, params=base.params, filters=base.filters,
+            local_layer="decimated", map_layer="map",
+            map_capacity=1 << 17,
+            incremental_map_resolution=0.5,
+        )
+        p0 = se3.Pose(
+            jnp.asarray(gt[0, :3, :3], jnp.float32),
+            jnp.asarray(gt[0, :3, 3], jnp.float32),
+        )
+        out = inc.run(frames, twists=twists, dt=DT, initial_pose=p0)
+        assert ate_rmse(out["poses"], gt) < 0.15
+        assert int(out["map_state"].n_dropped) == 0
+
+        ref = odometry_run["out"]
+        # same voxel winners: compare cell sets (poses differ only at NN
+        # tie-break level, so demand near-equality of the voxel sets)
+        n_i = int(out["map"].count)
+        n_s = int(ref["map"].count)
+        ci = np.floor(np.asarray(out["map"].xyz[:n_i]) / 0.5).astype(np.int64)
+        cs = np.floor(np.asarray(ref["map"].xyz[:n_s]) / 0.5).astype(np.int64)
+        set_i = {tuple(c) for c in ci}
+        set_s = {tuple(c) for c in cs}
+        jac = len(set_i & set_s) / max(len(set_i | set_s), 1)
+        assert jac > 0.98, jac
+        # trajectories agree closely frame-by-frame
+        dt_pos = np.linalg.norm(
+            out["poses"][:, :3, 3] - ref["poses"][:, :3, 3], axis=1
+        )
+        assert dt_pos.max() < 0.05, dt_pos.max()
+
+    def test_incremental_rejects_map_filters(self):
+        base = _make_mapper()
+        with pytest.raises(ValueError):
+            OdometryMapper(
+                icp=base.icp, params=base.params, filters=base.filters,
+                map_filters=base.map_filters,
+                incremental_map_resolution=0.5,
+            )
+
+    def test_batched_incremental_matches_sequential(self, odometry_run):
+        """The vmapped fleet shape over the hash-map state."""
+        from mp2p_icp_tpu.odometry import BatchedOdometryMapper
+
+        frames = odometry_run["frames"]
+        twists = odometry_run["twists"]
+        gt = odometry_run["gt"]
+        base = _make_mapper()
+
+        def make_inc():
+            return OdometryMapper(
+                icp=base.icp, params=base.params, filters=base.filters,
+                local_layer="decimated", map_layer="map",
+                map_capacity=1 << 17,
+                incremental_map_resolution=0.5,
+            )
+
+        n = 6
+        streams = [frames[0:n], frames[8:8 + n]]
+        stream_twists = [twists[0:n], twists[8:8 + n]]
+        p0s = [
+            se3.Pose(jnp.asarray(gt[0, :3, :3], jnp.float32),
+                     jnp.asarray(gt[0, :3, 3], jnp.float32)),
+            se3.Pose(jnp.asarray(gt[8, :3, :3], jnp.float32),
+                     jnp.asarray(gt[8, :3, 3], jnp.float32)),
+        ]
+        out_b = BatchedOdometryMapper(make_inc()).run(
+            streams, twists=stream_twists, initial_poses=p0s, dt=DT
+        )
+        for b in range(2):
+            seq = make_inc().run(
+                streams[b], twists=stream_twists[b],
+                initial_pose=p0s[b], dt=DT,
+            )
+            np.testing.assert_allclose(
+                out_b["poses"][b], seq["poses"], atol=5e-4
+            )
+            nb = int(np.asarray(out_b["maps"].count)[b])
+            assert nb == int(seq["map"].count)
+
+
 class TestSpatialShardedOdometry:
     def test_spatial_mapper_tracks_and_partitions(self, odometry_run):
         """The mapping loop with the rolling map sharded over a 4-device
