@@ -93,6 +93,13 @@ class OdometryMapper:
     normals_knn: int = 0
     normals_radius: float = 1.5
     normals_eigen_threshold: float = 1e-2
+    # incremental mode fits normals ONLY for the points that actually
+    # entered the map this frame (~voxel-growth rate, a few hundred at
+    # steady state), compacted to this static query capacity — the fit
+    # leaves the per-scan cost almost entirely. Frames inserting more
+    # than this many NEW voxels (the first frames of a run) leave the
+    # overflow normal-less; size to the expected per-frame map growth.
+    normals_query_capacity: int = 2048
 
     def __post_init__(self):
         self._step_cache = {}
@@ -145,21 +152,30 @@ class OdometryMapper:
                 tuple(self.filters), dict(raw_layers), variables
             )
             l_layers = {self.local_layer: local[self.local_layer]}
-            res = self.icp._align_full(
-                self.params, matchers,
-                {self.map_layer: map_pc}, l_layers, guess, None,
+            # crop once, reuse for the align AND (below) as the normals-
+            # fit candidate pool — the crop covers the scan bbox + margin,
+            # so every new point's neighbourhood lives inside it
+            g_crop, gidx = self.icp._crop_globals(
+                self.params, matchers, {self.map_layer: map_pc},
+                l_layers, guess,
+            )
+            res = self.icp._align_core(
+                self.params, matchers, {}, g_crop, l_layers, guess, None,
+                gidx_maps=gidx,
             )
             pose = res.optimal_tf
             src = local[self.local_layer]
             # world transform; normals (if FilterEstimateNormals ran)
             # rotate with the pose
             src_world = src.transformed(pose)
-            if self.normals_knn:
+            if self.normals_knn and not self._incremental:
+                # sort-maintenance path: fit before the merge
                 from mp2p_icp_tpu.ops.normals import estimate_point_normals
 
+                near_map = g_crop[self.map_layer]
                 cand = PointCloud(
-                    xyz=jnp.concatenate([map_pc.xyz, src_world.xyz]),
-                    count=map_pc.count + src_world.count,
+                    xyz=jnp.concatenate([near_map.xyz, src_world.xyz]),
+                    count=near_map.count + src_world.count,
                 )
                 src_world = estimate_point_normals(
                     src_world,
@@ -168,15 +184,75 @@ class OdometryMapper:
                     plane_eigen_threshold=self.normals_eigen_threshold,
                     source=cand,
                     source_valid=jnp.concatenate(
-                        [map_pc.valid_mask(), src_world.valid_mask()]
+                        [near_map.valid_mask(), src_world.valid_mask()]
                     ),
                 )
             if self._incremental:
                 from mp2p_icp_tpu.ops.voxel_hash_map import hash_map_insert
 
-                merged = hash_map_insert(
-                    map_state, src_world, self.incremental_map_resolution
+                merged, dest = hash_map_insert(
+                    map_state, src_world, self.incremental_map_resolution,
+                    with_dest=True,
                 )
+                if self.normals_knn:
+                    # fit normals ONLY for this frame's newly inserted
+                    # map points: compact winners to a small static query
+                    # block, fit against the cropped map + the scan, and
+                    # scatter the results into the map's normals channel.
+                    # Identical map normals to a fit-everything pass
+                    # (same candidates) at a fraction of the cost — the
+                    # non-winners' fits were computed and thrown away.
+                    from mp2p_icp_tpu.ops.normals import (
+                        estimate_point_normals,
+                    )
+
+                    C = merged.pc.capacity
+                    cap_n = self.normals_query_capacity
+                    win = dest < C
+                    rank = jnp.cumsum(win.astype(jnp.int32)) - 1
+                    slot = jnp.where(win & (rank < cap_n), rank, cap_n)
+                    q_xyz = (
+                        jnp.full((cap_n + 1, 3), PointCloud.PAD_VALUE,
+                                 jnp.float32)
+                        .at[slot].set(src_world.xyz)[:cap_n]
+                    )
+                    d_map = (
+                        jnp.full((cap_n + 1,), C, jnp.int32)
+                        .at[slot].set(dest)[:cap_n]
+                    )
+                    n_q = jnp.minimum(
+                        jnp.sum(win.astype(jnp.int32)), cap_n
+                    )
+                    qpc = PointCloud(xyz=q_xyz, count=n_q)
+                    near_map = g_crop[self.map_layer]
+                    qfit = estimate_point_normals(
+                        qpc,
+                        knn=self.normals_knn,
+                        max_radius=self.normals_radius,
+                        plane_eigen_threshold=self.normals_eigen_threshold,
+                        source=PointCloud(
+                            xyz=jnp.concatenate(
+                                [near_map.xyz, src_world.xyz]
+                            ),
+                            count=near_map.count + src_world.count,
+                        ),
+                        source_valid=jnp.concatenate(
+                            [near_map.valid_mask(),
+                             src_world.valid_mask()]
+                        ),
+                    )
+                    new_normals = (
+                        jnp.concatenate(
+                            [merged.pc.normals,
+                             jnp.zeros((1, 3), jnp.float32)]
+                        )
+                        .at[d_map].set(qfit.normals)[:C]
+                    )
+                    merged = merged._replace(
+                        pc=dataclasses.replace(
+                            merged.pc, normals=new_normals
+                        )
+                    )
             else:
                 merged_layers = merge(
                     {"__world": src_world, self.map_layer: map_pc}
@@ -268,6 +344,91 @@ class OdometryMapper:
         return self._seed_jit(raw_layers, pose, tw)
 
     # ------------------------------------------------------------------
+    def _get_scan_run(self, dt: Optional[float], n_steps: int):
+        """Whole-sequence program: lax.scan of the fused step — ONE
+        device dispatch for the full stream. The offline-mapping shape
+        (the reference's sm2mm batch processing); also removes the
+        per-frame dispatch + host-loop overhead the online `run` pays."""
+        key = ("scan", dt, n_steps)
+        if key not in self._step_cache:
+            step_fn = self._build_step_fn(dt)
+
+            def scan_body(carry, xs):
+                map_state, pose, rel = carry
+                frame, tw, tw_prev, do_merge = xs
+                (new_map, new_pose, rel_new, q, npair) = step_fn(
+                    map_state, frame, pose, rel, tw, tw_prev, do_merge
+                )
+                return (
+                    (new_map, new_pose, rel_new),
+                    (new_pose.R, new_pose.t, q),
+                )
+
+            def run_all(map_state, pose0, frames_x, tws, tws_prev, merges):
+                init = (map_state, pose0, se3.identity())
+                (map_f, pose_f, _), (Rs, ts, qs) = jax.lax.scan(
+                    scan_body, init, (frames_x, tws, tws_prev, merges)
+                )
+                return map_f, pose_f, Rs, ts, qs
+
+            self._step_cache[key] = jax.jit(
+                run_all, donate_argnums=(0,)
+            )
+        return self._step_cache[key]
+
+    def run_offline(
+        self,
+        frames: Sequence[Dict[str, PointCloud]],
+        twists: Optional[Sequence] = None,
+        initial_pose: Optional[Pose] = None,
+        dt: Optional[float] = None,
+    ) -> Dict:
+        """Same contract as `run`, but the whole sequence executes as ONE
+        jitted lax.scan dispatch (frames pre-stacked on device). Identical
+        math/results to `run`; use for offline mapping or benchmarking
+        without per-frame host involvement."""
+        use_motion_model = dt is not None and twists is not None
+        n = len(frames)
+        pose0 = initial_pose or se3.identity()
+        tws = (
+            [np.asarray(t, np.float32) for t in twists]
+            if twists is not None
+            else [np.zeros(6, np.float32)] * n
+        )
+        map_state = self.seed_map(
+            frames[0], pose0, jnp.asarray(tws[0])
+        )
+        frames_x = _stack(frames[1:])
+        tws_x = jnp.asarray(np.stack(tws[1:]))
+        tws_prev_x = jnp.asarray(np.stack(tws[:-1]))
+        merges = jnp.asarray(
+            [
+                self.merge_every <= 1 or (i % self.merge_every == 0)
+                for i in range(1, n)
+            ]
+        )
+        run_all = self._get_scan_run(
+            dt if use_motion_model else None, n - 1
+        )
+        t0 = time.perf_counter()
+        map_f, pose_f, Rs, ts, qs = run_all(
+            map_state, pose0, frames_x, tws_x, tws_prev_x, merges
+        )
+        _ = float(pose_f.t[0])  # true sync (axon)
+        elapsed = time.perf_counter() - t0
+        mats = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+        mats[0, :3, :3] = np.asarray(pose0.R)
+        mats[0, :3, 3] = np.asarray(pose0.t)
+        mats[1:, :3, :3] = np.asarray(Rs)
+        mats[1:, :3, 3] = np.asarray(ts)
+        return {
+            "poses": mats,
+            "map": self._map_pc(map_f),
+            "map_state": map_f,
+            "scans_per_s": (n - 1) / max(elapsed, 1e-9),
+            "qualities": np.asarray(qs, np.float32),
+        }
+
     def run(
         self,
         frames: Sequence[Dict[str, PointCloud]],
@@ -387,6 +548,101 @@ class BatchedOdometryMapper:
                 donate_argnums=(0,),
             )
         return self._vstep_cache[dt]
+
+    def _get_scan_vrun(self, dt, n_steps):
+        key = ("scan", dt, n_steps)
+        if key not in self._vstep_cache:
+            fn = self.mapper._build_step_fn(dt)
+            vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+            def scan_body(carry, xs):
+                maps, pose, rel = carry
+                frame, tw, tw_prev, do_merge = xs
+                (new_maps, new_pose, rel_new, q, npair) = vfn(
+                    maps, frame, pose, rel, tw, tw_prev, do_merge
+                )
+                return (
+                    (new_maps, new_pose, rel_new),
+                    (new_pose.R, new_pose.t, q),
+                )
+
+            def run_all(maps, pose0, frames_x, tws, tws_prev, merges):
+                from mp2p_icp_tpu.core import se3 as _se3
+
+                B = pose0.t.shape[0]
+                rel0 = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x[None], (B,) + x.shape),
+                    _se3.identity(),
+                )
+                (maps_f, pose_f, _), (Rs, ts, qs) = jax.lax.scan(
+                    scan_body, (maps, pose0, rel0),
+                    (frames_x, tws, tws_prev, merges),
+                )
+                return maps_f, pose_f, Rs, ts, qs
+
+            self._vstep_cache[key] = jax.jit(run_all, donate_argnums=(0,))
+        return self._vstep_cache[key]
+
+    def run_offline(self, streams, twists=None, initial_poses=None,
+                    dt: Optional[float] = None):
+        """Whole-fleet offline mode: ONE jitted lax.scan dispatch runs
+        every frame index of every stream (body = the vmapped fused
+        step). Same contract/results as `run`."""
+        m = self.mapper
+        B = len(streams)
+        n = len(streams[0])
+        assert all(len(s) == n for s in streams)
+
+        def tw(b, i):
+            if twists is None:
+                return np.zeros(6, np.float32)
+            return np.asarray(twists[b][i], np.float32)
+
+        poses0 = initial_poses or [se3.identity() for _ in range(B)]
+        maps = _stack([
+            m.seed_map(streams[b][0], poses0[b], jnp.asarray(tw(b, 0)))
+            for b in range(B)
+        ])
+        pose_b = _stack(poses0)
+        # [n-1, B, ...] stacked frames/twists
+        frames_x = jax.tree.map(
+            lambda *xs: jnp.stack(xs, axis=0),
+            *[_stack([streams[b][i] for b in range(B)])
+              for i in range(1, n)],
+        )
+        tws_x = jnp.asarray(
+            np.stack([[tw(b, i) for b in range(B)] for i in range(1, n)])
+        )
+        tws_prev_x = jnp.asarray(
+            np.stack([[tw(b, i - 1) for b in range(B)]
+                      for i in range(1, n)])
+        )
+        merges = jnp.asarray([
+            m.merge_every <= 1 or (i % m.merge_every == 0)
+            for i in range(1, n)
+        ])
+        run_all = self._get_scan_vrun(
+            dt if twists is not None else None, n - 1
+        )
+        t0 = time.perf_counter()
+        maps_f, pose_f, Rs, ts, qs = run_all(
+            maps, pose_b, frames_x, tws_x, tws_prev_x, merges
+        )
+        _ = float(pose_f.t[0, 0])
+        elapsed = time.perf_counter() - t0
+        mats = np.tile(np.eye(4, dtype=np.float64), (B, n, 1, 1))
+        for b in range(B):
+            mats[b, 0, :3, :3] = np.asarray(poses0[b].R)
+            mats[b, 0, :3, 3] = np.asarray(poses0[b].t)
+        mats[:, 1:, :3, :3] = np.asarray(Rs).transpose(1, 0, 2, 3)
+        mats[:, 1:, :3, 3] = np.asarray(ts).transpose(1, 0, 2)
+        return {
+            "poses": mats,
+            "maps": m._map_pc(maps_f),
+            "map_states": maps_f,
+            "scans_per_s": B * (n - 1) / max(elapsed, 1e-9),
+            "qualities": np.asarray(qs, np.float32).T,
+        }
 
     def run(self, streams, twists=None, initial_poses=None,
             dt: Optional[float] = None):

@@ -134,13 +134,17 @@ def hash_map_insert(
     resolution,
     valid: Optional[jax.Array] = None,
     max_probe: int = 12,
+    with_dest: bool = False,
 ) -> VoxelHashMapState:
     """Insert `new`'s valid points; a point lands in the buffer iff its
     voxel is unoccupied (FirstPoint, insertion order — earlier buffer
     rows, then lower input index, win). Fully traced, static shapes.
 
     valid: optional explicit mask (default: new.valid_mask(), i.e.
-    leading-rows validity)."""
+    leading-rows validity).
+    with_dest: also return the [N] i32 buffer row each input point landed
+    in (C = not inserted) — lets callers post-process just the winners
+    (e.g. fit normals only for newly inserted map points)."""
     T = state.table_k1.shape[0]
     C = state.pc.capacity
     N = new.capacity
@@ -274,9 +278,12 @@ def hash_map_insert(
         time=merge_ch(pc.time, new.time),
         normals=merge_ch3(pc.normals, new.normals),
     )
-    return VoxelHashMapState(
+    out = VoxelHashMapState(
         pc=new_pc, table_k1=tk1, table_k2=tk2, n_dropped=dropped
     )
+    if with_dest:
+        return out, dest
+    return out
 
 
 def hash_decimate_first_point(
