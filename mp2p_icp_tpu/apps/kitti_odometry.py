@@ -188,6 +188,9 @@ def run_sequence_mapping(
     map_capacity: int = 1 << 20,
     map_voxel: float = 0.5,
     merge_every: int = 1,
+    loop_closure: bool = False,
+    loop_min_gap: int = 20,
+    loop_max_distance: float = 5.0,
     verbose=True,
 ):
     """Scan-to-ACCUMULATED-MAP odometry (the mola_lidar_odometry loop):
@@ -246,6 +249,45 @@ def run_sequence_mapping(
     ]
     out = mapper.run(frames, progress_every=50 if verbose else 0)
     out["n_frames"] = len(frames)
+
+    if loop_closure:
+        # revisit detection + ICP-verified loop edges + pose-graph GN
+        # (loop_closure.py; promotes parallel/pose_graph.py to a pipeline
+        # feature). Scan-to-scan closure aligns use the config's ORIGINAL
+        # matcher layer topology, so reload it.
+        from mp2p_icp_tpu.loop_closure import close_and_optimize
+
+        icp_lc, params_lc, _ = load_icp_config_file(config_path)
+        cands_needed = {}
+
+        def cloud_of(k):
+            if k not in cands_needed:
+                layers = apply_filter_pipeline(
+                    tuple(filters), dict(frames[k]), None
+                )
+                cands_needed[k] = layers[local_layer]
+            return cands_needed[k]
+
+        class _Lazy:
+            def __getitem__(self, k):
+                return cloud_of(k)
+
+        g_layer = icp_lc.matchers[0].layer_matches[0].global_layer
+        lc = close_and_optimize(
+            icp_lc, params_lc, _Lazy(), out["poses"],
+            min_frame_gap=loop_min_gap,
+            max_distance=loop_max_distance,
+            layer=g_layer,
+        )
+        if verbose:
+            print(
+                f"[loop-closure] candidates={lc['n_candidates']} "
+                f"accepted={lc['n_accepted']}"
+            )
+        out["poses_odometry"] = out["poses"]
+        out["poses"] = lc["poses"]
+        out["loop_closures"] = lc["loops"]
+
     if gt_poses is not None:
         gt = np.asarray(gt_poses)[: out["poses"].shape[0]]
         out["ate_rmse"] = ate_rmse(out["poses"], gt)
@@ -276,6 +318,14 @@ def main(argv=None):
                     help="merge every k-th frame into the map (keyframing)")
     ap.add_argument("--out-map", default=None,
                     help="save the final map as .mm.npz (mapping mode)")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="after the mapping run: revisit detection + "
+                         "ICP-verified loop edges + pose-graph GN over "
+                         "the trajectory (mapping mode)")
+    ap.add_argument("--loop-min-gap", type=int, default=20,
+                    help="minimum frame separation for a loop candidate")
+    ap.add_argument("--loop-max-distance", type=float, default=5.0,
+                    help="maximum revisit distance [m] for a candidate")
     args = ap.parse_args(argv)
 
     from mp2p_icp_tpu.eval.trajectory import load_kitti_poses, save_kitti_poses
@@ -289,6 +339,9 @@ def main(argv=None):
             paths, args.config, gt_poses=gt, max_frames=args.max_frames,
             map_capacity=args.map_capacity, map_voxel=args.map_voxel,
             merge_every=args.merge_every,
+            loop_closure=args.loop_closure,
+            loop_min_gap=args.loop_min_gap,
+            loop_max_distance=args.loop_max_distance,
         )
         if args.out_map:
             from mp2p_icp_tpu.core.metric_map import MetricMap

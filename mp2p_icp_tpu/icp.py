@@ -162,6 +162,16 @@ class ICPResults(NamedTuple):
     iteration_pairings: Optional[Pairings] = None
 
 
+def _layer_shape_key(v):
+    """Hashable jit-cache key for a map layer: point layers key on
+    capacity; other layer types (voxel grids for quality evaluators, ...)
+    key on their leaf shapes."""
+    cap = getattr(v, "capacity", None)
+    if cap is not None:
+        return cap
+    return tuple(jnp.shape(x) for x in jax.tree.leaves(v))
+
+
 class _LoopCarry(NamedTuple):
     pose: Pose
     prev_pose: Pose
@@ -216,6 +226,13 @@ class ICP:
             lo, hi = self._module_window(m, params.max_iterations)
             bounds.add(min(lo, params.max_iterations))
             bounds.add(min(hi + 1, params.max_iterations))
+        # quality checkpoints are segment boundaries too: the FULL
+        # evaluator stack runs in-trace exactly once per checkpoint,
+        # between segments (reference: ICP.cpp:259-283 evaluates
+        # quality_evaluators_ at the checkpoint iteration and aborts)
+        for it, _min_q in params.quality_checkpoints:
+            if 0 <= it < params.max_iterations:
+                bounds.add(it + 1)
         cuts = sorted(bounds)
         segs = []
         for a, b in zip(cuts[:-1], cuts[1:]):
@@ -325,7 +342,7 @@ class ICP:
         )
         if not dynamic:
             # first statically-active solver wins outright
-            return act[0].solve(pairings, pose, prior), finished
+            return act[0].solve(pairings, pose, prior, iteration=iteration), finished
         result = pose
         taken = jnp.asarray(False)
         new_finished = finished
@@ -345,7 +362,8 @@ class ICP:
                 g = ~taken
             result = jax.lax.cond(
                 g,
-                lambda p=pairings, s=s, pose=pose, prior=prior: s.solve(p, pose, prior),
+                lambda p=pairings, s=s, pose=pose, prior=prior: s.solve(
+                    p, pose, prior, iteration=iteration),
                 lambda r=result: r,
             )
             taken = taken | g
@@ -387,8 +405,10 @@ class ICP:
             tuple(self.quality_evaluators),
             tuple(self.quality_weights),
             prior is not None,
-            tuple(sorted((k, v.capacity) for k, v in g_layers.items())),
-            tuple(sorted((k, v.capacity) for k, v in l_layers.items())),
+            tuple(sorted((k, _layer_shape_key(v))
+                         for k, v in g_layers.items())),
+            tuple(sorted((k, _layer_shape_key(v))
+                         for k, v in l_layers.items())),
         )
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
@@ -500,6 +520,63 @@ class ICP:
         return self._align_core(params, matchers, {}, g_layers, l_layers,
                                 guess, prior, gidx_maps=gidx_maps)
 
+    def _quality_stack(self, pairings, grids, g_layers, l_layers, pose,
+                       iteration):
+        """Weighted full-evaluator-stack quality with hard-discard → 0
+        (reference: evaluate_quality, ICP.cpp:608-634). Used both for the
+        final result and at in-loop quality checkpoints."""
+        ctx = MatchContext(icp_iteration=iteration)
+        q_acc = jnp.asarray(0.0)
+        w_acc = 0.0
+        discard = jnp.asarray(False)
+        for ev, w in zip(self.quality_evaluators, self.quality_weights):
+            qr = ev.evaluate(
+                pairings,
+                grids=grids,
+                global_map=g_layers,
+                local_map=l_layers,
+                pose=pose,
+                ctx=ctx,
+            )
+            q_acc = q_acc + w * qr.quality
+            w_acc += w
+            discard = discard | qr.hard_discard
+        return jnp.where(discard, 0.0, q_acc / max(w_acc, 1e-12))
+
+    def _apply_quality_checkpoint(self, params, carry, seg_end, grids,
+                                  g_layers, l_layers):
+        """If `seg_end - 1` is a checkpoint iteration, evaluate the FULL
+        configured quality stack on the carry's current solution and
+        abort with QUALITY_CHECKPOINT_FAILED below the threshold
+        (reference: ICP.cpp:259-283 — the checkpoint runs after the
+        iteration's solver/stall checks, with the current pairings and
+        optimal pose). Static no-op for non-checkpoint boundaries."""
+        thresholds = [
+            min_q for it, min_q in params.quality_checkpoints
+            if it + 1 == seg_end
+        ]
+        if not thresholds:
+            return carry
+        min_q = max(thresholds)
+        q = self._quality_stack(
+            carry.pairings, grids, g_layers, l_layers, carry.pose,
+            carry.iteration,
+        )
+        fail = (
+            (carry.reason == _RUNNING)
+            & (carry.iteration == seg_end)
+            & (q < min_q)
+        )
+        return carry._replace(
+            reason=jnp.where(
+                fail,
+                jnp.asarray(
+                    IterTermReason.QUALITY_CHECKPOINT_FAILED, jnp.int32
+                ),
+                carry.reason,
+            )
+        )
+
     def _align_core(self, params, matchers, grids, g_layers, l_layers,
                     guess, prior, gidx_maps=None):
         eps_t = params.min_abs_step_trans
@@ -535,17 +612,10 @@ class ICP:
                 stalled = ((dt1 < eps_t) & (dr1 < eps_r)) | (
                     (dt2 < eps_t) & (dr2 < eps_r)
                 )
-                # quality checkpoints (reference: ICP.cpp:259-283) —
-                # evaluated on the in-loop pairing ratio
-                q = pairings.size().astype(jnp.float32) / jnp.maximum(
-                    pairings.potential_pairings.astype(jnp.float32), 1.0
-                )
-                cp_fail = jnp.asarray(False)
-                for it, min_q in params.quality_checkpoints:
-                    cp_fail = cp_fail | (
-                        (carry.iteration == it) & (q < min_q)
-                    )
-
+                # quality checkpoints (reference: ICP.cpp:259-283) run the
+                # FULL evaluator stack BETWEEN segments — checkpoint
+                # iterations are segment boundaries (_schedule_segments),
+                # so the in-loop body carries no quality work at all
                 reason = jnp.where(
                     no_pairs,
                     IterTermReason.NO_PAIRINGS,
@@ -553,11 +623,7 @@ class ICP:
                         ~solver_ok,
                         IterTermReason.SOLVER_ERROR,
                         jnp.where(
-                            cp_fail,
-                            IterTermReason.QUALITY_CHECKPOINT_FAILED,
-                            jnp.where(
-                                stalled, IterTermReason.STALLED, _RUNNING
-                            ),
+                            stalled, IterTermReason.STALLED, _RUNNING
                         ),
                     ),
                 ).astype(jnp.int32)
@@ -655,6 +721,9 @@ class ICP:
                 carry, (p_seg, c_seg, pr_seg) = jax.lax.scan(
                     scan_body, carry, None, length=b - a
                 )
+                carry = self._apply_quality_checkpoint(
+                    params, carry, b, grids, g_layers, l_layers
+                )
                 rec_p.append(p_seg)
                 rec_c.append(c_seg)
                 rec_pr.append(pr_seg)
@@ -679,6 +748,9 @@ class ICP:
                 carry = jax.lax.while_loop(
                     cond_seg, make_body(m_act, s_act), carry
                 )
+                carry = self._apply_quality_checkpoint(
+                    params, carry, b, grids, g_layers, l_layers
+                )
             final = carry
 
         reason = jnp.where(
@@ -687,23 +759,10 @@ class ICP:
 
         # final quality = sum w_i q_i / sum w_i; hard discard forces 0
         # (reference: ICP.cpp:322-324, 608-634)
-        ctx = MatchContext(icp_iteration=final.iteration)
-        q_acc = jnp.asarray(0.0)
-        w_acc = 0.0
-        discard = jnp.asarray(False)
-        for ev, w in zip(self.quality_evaluators, self.quality_weights):
-            qr = ev.evaluate(
-                final.pairings,
-                grids=grids,
-                global_map=g_layers,
-                local_map=l_layers,
-                pose=final.pose,
-                ctx=ctx,
-            )
-            q_acc = q_acc + w * qr.quality
-            w_acc += w
-            discard = discard | qr.hard_discard
-        quality = jnp.where(discard, 0.0, q_acc / max(w_acc, 1e-12))
+        quality = self._quality_stack(
+            final.pairings, grids, g_layers, l_layers, final.pose,
+            final.iteration,
+        )
 
         cov = compute_covariance(final.pairings, final.pose)
 

@@ -47,9 +47,14 @@ _HIST_BINS = 50  # reference: CHistogram(min, max, 50), Matcher_Adaptive.cpp:193
 class MatcherAdaptive(Matcher):
     """Params (reference: Matcher_Adaptive.h)."""
 
-    confidence_interval: float = 0.80
+    # confidence_interval / absolute_max_search_distance may be
+    # core.params.Expression instances over ICP_ITERATION — the
+    # reference's Parameterizable contract (any numeric field can be a
+    # runtime expression, Parameterizable.h:51-186 + DECLARE_PARAMETER in
+    # Matcher_Adaptive.h); they evaluate IN-TRACE each iteration
+    confidence_interval: object = 0.80
     first_to_second_distance_max: float = 1.2
-    absolute_max_search_distance: float = 5.0
+    absolute_max_search_distance: object = 5.0
     minimum_corr_dist: float = 0.1
     enable_detect_planes: bool = False
     plane_search_points: int = 8
@@ -75,6 +80,18 @@ class MatcherAdaptive(Matcher):
     spatial_axis: object = None
 
     def search_radius(self) -> float:
+        from mp2p_icp_tpu.core.params import Expression
+
+        if isinstance(self.absolute_max_search_distance, Expression):
+            # static upper bound for crop sizing: the expression's max
+            # over a generous iteration range (crop margins need a
+            # Python float before tracing)
+            return max(
+                float(self.absolute_max_search_distance(
+                    {"ICP_ITERATION": float(i)}
+                ))
+                for i in range(0, 513)
+            )
         return self.absolute_max_search_distance
 
     def _knn(self) -> int:
@@ -112,6 +129,19 @@ class MatcherAdaptive(Matcher):
         new_local = dict(state.local_paired) if state is not None else None
         new_global = dict(state.global_paired) if state is not None else None
         knn = self._knn()
+        from mp2p_icp_tpu.core.params import Expression
+
+        env = {"ICP_ITERATION": ctx.icp_iteration.astype(jnp.float32)}
+        conf_int = (
+            self.confidence_interval(env)
+            if isinstance(self.confidence_interval, Expression)
+            else self.confidence_interval
+        )
+        amsd = (
+            self.absolute_max_search_distance(env)
+            if isinstance(self.absolute_max_search_distance, Expression)
+            else self.absolute_max_search_distance
+        )
 
         for lm in self.layer_matches:
             local = point_layers(local_map)[lm.local_layer]
@@ -123,7 +153,7 @@ class MatcherAdaptive(Matcher):
 
             res = knn_bruteforce(
                 pts, valid, glayer.xyz, glayer.valid_mask(), k=knn,
-                max_radius_sq=self.absolute_max_search_distance**2,
+                max_radius_sq=amsd**2,
                 spatial_axis=self.spatial_axis,
             )
 
@@ -146,7 +176,7 @@ class MatcherAdaptive(Matcher):
             cdf = jnp.cumsum(hist) / total
             # reference: confidenceIntervalsFromHistogram(..., 1-CI) — the
             # upper limit is the (1+CI)/2 quantile of the binned samples
-            q = (1.0 + self.confidence_interval) * 0.5
+            q = (1.0 + conf_int) * 0.5
             bin_idx = jnp.argmax(cdf >= q)
             ci_high = d_min + (bin_idx + 1).astype(jnp.float32) / _HIST_BINS * span
             max_corr_dist_sq = jnp.maximum(self.minimum_corr_dist**2, ci_high)

@@ -60,7 +60,8 @@ class SolverHorn(Solver):
     estimate_scale: bool = False
 
     def solve(
-        self, pairings: Pairings, guess: Pose, prior: Optional[SE3Prior] = None
+        self, pairings: Pairings, guess: Pose,
+        prior: Optional[SE3Prior] = None, iteration=None,
     ) -> Pose:
         p = pt2ln_pl_to_pt2pt(pairings, guess)
         return optimal_tf_horn(p, self.weight_params, current_estimate=guess)
@@ -75,7 +76,8 @@ class SolverOLAE(Solver):
     )
 
     def solve(
-        self, pairings: Pairings, guess: Pose, prior: Optional[SE3Prior] = None
+        self, pairings: Pairings, guess: Pose,
+        prior: Optional[SE3Prior] = None, iteration=None,
     ) -> Pose:
         p = pt2ln_pl_to_pt2pt(pairings, guess)
         return optimal_tf_olae(p, self.weight_params, current_estimate=guess)
@@ -88,6 +90,21 @@ class SolverGaussNewton(Solver):
     gn_params: GNParams = dataclasses.field(default_factory=GNParams)
 
     def solve(
-        self, pairings: Pairings, guess: Pose, prior: Optional[SE3Prior] = None
+        self, pairings: Pairings, guess: Pose,
+        prior: Optional[SE3Prior] = None, iteration=None,
     ) -> Pose:
-        return optimal_tf_gauss_newton(pairings, guess, self.gn_params, prior)
+        gp = self.gn_params
+        # Parameterizable solver field (reference: DECLARE_PARAMETER in
+        # Solver_GaussNewton — any numeric field may be an ICP_ITERATION
+        # expression, Parameterizable.h:51-186): evaluate in-trace
+        from mp2p_icp_tpu.core.params import Expression
+
+        if isinstance(gp.kernel_param, Expression):
+            env = {
+                "ICP_ITERATION": (
+                    iteration.astype(jnp.float32)
+                    if iteration is not None else 0.0
+                )
+            }
+            gp = dataclasses.replace(gp, kernel_param=gp.kernel_param(env))
+        return optimal_tf_gauss_newton(pairings, guess, gp, prior)

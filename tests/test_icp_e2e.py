@@ -64,10 +64,19 @@ MATCHERS = {
 
 
 class TestICPMatrix:
+    # >=3 independent perturbation draws per {solver x matcher} cell at
+    # the reference's strength (+-15% bbox / +-10 deg — random_gt;
+    # reference: test-mp2p_icp_algos.cpp:242-262 runs multiple reps).
+    # Rep 0 stays in the quick tier; extra reps are `slow`.
+    @pytest.mark.parametrize("rep", [
+        0,
+        pytest.param(1, marks=pytest.mark.slow),
+        pytest.param(2, marks=pytest.mark.slow),
+    ])
     @pytest.mark.parametrize("solver", ["horn", "olae", "gn"])
     @pytest.mark.parametrize("matcher", ["dist", "inlier"])
-    def test_bunny(self, solver, matcher):
-        rng = np.random.RandomState(1234)
+    def test_bunny(self, solver, matcher, rep):
+        rng = np.random.RandomState(1234 + 7919 * rep)
         local, globl, gt = make_pair(BUNNY, rng)
         icp = ICP(
             matchers=[MATCHERS[matcher]],
@@ -84,8 +93,13 @@ class TestICPMatrix:
         )
         assert float(res.quality) > 0.5
 
-    def test_buddha_horn_dist(self):
-        rng = np.random.RandomState(99)
+    @pytest.mark.parametrize("rep", [
+        0,
+        pytest.param(1, marks=pytest.mark.slow),
+        pytest.param(2, marks=pytest.mark.slow),
+    ])
+    def test_buddha_horn_dist(self, rep):
+        rng = np.random.RandomState(99 + 7919 * rep)
         local, globl, gt = make_pair(BUDDHA, rng)
         icp = ICP(matchers=[MATCHERS["dist"]], solvers=[SOLVERS["horn"]])
         res = icp.align(
@@ -171,6 +185,66 @@ class TestICPBehaviour:
             int(IterTermReason.NO_PAIRINGS),
             int(IterTermReason.QUALITY_CHECKPOINT_FAILED),
         )
+
+    def test_checkpoint_runs_configured_evaluator_stack(self):
+        """The checkpoint evaluates the CONFIGURED quality evaluators
+        (reference: ICP.cpp:259-283 runs the full quality_evaluators_
+        stack), not the in-loop pairing ratio: here the point clouds
+        match perfectly (pairing ratio ~1, the old shortcut would pass)
+        but the attached QualityVoxels layers DISAGREE — the run must
+        abort with QUALITY_CHECKPOINT_FAILED at the checkpoint."""
+        from mp2p_icp_tpu.core.metric_map import VoxelGridLayer
+        from mp2p_icp_tpu.core.pointcloud import PointCloud
+        from mp2p_icp_tpu.filters.voxel_filters import update_voxel_map
+        from mp2p_icp_tpu.quality.voxels import QualityVoxels
+
+        rng = np.random.RandomState(6)
+        local, globl, _gt = make_pair(BUNNY, rng)
+        pts = jnp.asarray(np.asarray(globl["raw"].xyz[:256]))
+        vg_g = update_voxel_map(
+            VoxelGridLayer.empty(4096, 0.05), pts,
+            jnp.ones(256, bool), jnp.zeros(3), carve_free_space=False,
+        )
+        far = pts + 40.0  # disjoint voxel set
+        vg_l_bad = update_voxel_map(
+            VoxelGridLayer.empty(4096, 0.05), far,
+            jnp.ones(256, bool), jnp.zeros(3), carve_free_space=False,
+        )
+        qv = QualityVoxels(voxel_layer_name="vox")
+        q_bad = float(qv.evaluate_voxels(vg_l_bad, vg_g, se3.identity()).quality)
+        q_good = float(qv.evaluate_voxels(vg_g, vg_g, se3.identity()).quality)
+        assert q_bad < q_good
+        thr = 0.5 * (q_bad + q_good)
+
+        icp = ICP(
+            matchers=[MatcherPointsDistanceThreshold(threshold=0.5)],
+            solvers=[SolverHorn()],
+            quality_evaluators=[QualityVoxels(voxel_layer_name="vox")],
+        )
+        res = icp.align(
+            {**local, "vox": vg_l_bad},
+            {**globl, "vox": vg_g},
+            se3.identity(),
+            ICPParameters(max_iterations=40,
+                          quality_checkpoints=((2, thr),)),
+        )
+        assert int(res.termination_reason) == int(
+            IterTermReason.QUALITY_CHECKPOINT_FAILED
+        ), int(res.termination_reason)
+        assert int(res.n_iterations) == 3  # aborted right at the checkpoint
+
+        # control: agreeing voxel layers pass the same checkpoint
+        res2 = icp.align(
+            {**local, "vox": vg_g},
+            {**globl, "vox": vg_g},
+            se3.identity(),
+            ICPParameters(max_iterations=40,
+                          quality_checkpoints=((2, thr),)),
+        )
+        assert int(res2.termination_reason) != int(
+            IterTermReason.QUALITY_CHECKPOINT_FAILED
+        )
+        assert int(res2.n_iterations) > 3
 
 
 class TestRecordIterations:

@@ -15,6 +15,7 @@ from mp2p_icp_tpu.matchers import (
 )
 from mp2p_icp_tpu.pipeline.yaml_loader import (
     filter_pipeline_from_yaml,
+    icp_pipeline_from_yaml,
     icp_pipeline_from_yaml_file,
     load_icp_config_file,
 )
@@ -23,6 +24,55 @@ from mp2p_icp_tpu.solvers.solver import SolverGaussNewton, SolverHorn
 
 EXAMPLE1 = "/root/reference/demos/icp-settings-example1.yaml"
 KITTI = "/root/reference/demos/icp-settings-kitti.yaml"
+REF_DEMO_DIR = "/root/reference/demos"
+
+
+class TestAllReferenceDemoYamls:
+    """Permanent sweep of EVERY reference demo YAML through the repo's own
+    loaders (VERDICT r4 Next #5b) — schema regressions surface here."""
+
+    def test_all_reference_demo_yamls_load(self):
+        import glob
+        import os
+
+        from mp2p_icp_tpu.filters.generator import generators_from_yaml
+
+        paths = sorted(glob.glob(os.path.join(REF_DEMO_DIR, "*.yaml")))
+        assert len(paths) >= 12  # the reference ships 12 demo configs
+        for path in paths:
+            name = os.path.basename(path)
+            with open(path) as f:
+                cfg = yaml.safe_load(f)
+            if "libpointmatcher" in name:
+                continue  # covered by the explicit-raise test below
+            if name.startswith("icp-settings"):
+                icp, params = icp_pipeline_from_yaml(cfg)
+                assert icp.matchers and icp.solvers, name
+            else:
+                # sm2mm / mm-filter configs: generators + filter sections
+                built_any = False
+                if "generators" in cfg and cfg["generators"]:
+                    gens = generators_from_yaml(cfg["generators"])
+                    assert gens, name
+                    built_any = True
+                for section in ("filters", "final_filters"):
+                    if section in cfg and cfg[section]:
+                        filters = filter_pipeline_from_yaml(cfg[section])
+                        assert filters, f"{name}:{section}"
+                        built_any = True
+                assert built_any, f"{name}: no recognised section"
+
+    def test_libpointmatcher_config_raises(self):
+        """The optional external-engine wrapper must refuse loudly, not
+        return an empty ICP (reference: icp_pipeline_from_yaml.cpp:26-77
+        instantiates the wrapper; it is n/a here)."""
+        path = (
+            f"{REF_DEMO_DIR}/icp-settings-example-libpointmatcher.yaml"
+        )
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+        with pytest.raises(ValueError, match="libpointmatcher"):
+            icp_pipeline_from_yaml(cfg)
 
 
 class TestLoadReferenceConfigs:
@@ -74,8 +124,9 @@ class TestEndToEndFromYaml:
         rng = np.random.RandomState(42)
         xyz = pc.to_numpy()
         bbox = xyz.max(0) - xyz.min(0)
-        d = rng.uniform(-0.10 * bbox, 0.10 * bbox)
-        ang = np.deg2rad(rng.uniform(-8, 8, 3))
+        # reference-strength perturbation (test-mp2p_icp_algos.cpp:242-262)
+        d = rng.uniform(-0.15 * bbox, 0.15 * bbox)
+        ang = np.deg2rad(rng.uniform(-10, 10, 3))
         gt = se3.from_xyz_ypr(d[0], d[1], d[2], ang[0], ang[1], ang[2])
         import jax.numpy as jnp
 
