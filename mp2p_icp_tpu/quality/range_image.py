@@ -45,18 +45,24 @@ def project_range_image(
 
 
 def _score_images(I: jnp.ndarray, J: jnp.ndarray, sigma: float,
-                  penalty_not_visible: float = 0.1):
-    """Per-pixel Gaussian agreement score between two range images
-    (reference: scores() in QualityEvaluator_RangeImageSimilarity.cpp).
-    Pixels empty in BOTH images carry no information and are excluded
-    from the mean."""
+                  penalty_not_visible: float = 2.0):
+    """Per-pixel agreement between two range images — the reference's
+    exact formulas (QualityEvaluator_RangeImageSimilarity.cpp:183-223):
+    both visible -> 1 - erf(|dr|/(sigma*sqrt(2))); visible from exactly
+    one viewpoint -> 1 - erf(penalty_not_visible/sqrt(2)) (the penalty is
+    expressed in SIGMAS, a constant occlusion mismatch); empty in both ->
+    excluded. Returns (sum, count) so the caller can pool the mean over
+    ALL counted pixels of every image pair, like the reference's single
+    `scores` vector."""
+    from jax.scipy.special import erf
+
     both = (I > 0) & (J > 0)
     one = (I > 0) ^ (J > 0)
-    err = I - J
-    g = jnp.exp(-0.5 * jnp.square(err / sigma))
-    score = jnp.where(both, g, jnp.where(one, penalty_not_visible, 0.0))
-    n = jnp.maximum(jnp.sum((both | one).astype(jnp.float32)), 1.0)
-    return jnp.sum(score) / n
+    x = jnp.abs(I - J) / (sigma * jnp.sqrt(2.0))
+    val_both = 1.0 - erf(x)
+    val_one = 1.0 - erf(penalty_not_visible / jnp.sqrt(2.0))
+    score = jnp.where(both, val_both, jnp.where(one, val_one, 0.0))
+    return jnp.sum(score), jnp.sum((both | one).astype(jnp.float32))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,7 +76,8 @@ class QualityRangeImageSimilarity:
     cx: float = 50.0
     cy: float = 30.0
     sigma: float = 0.1
-    penalty_not_visible: float = 0.1
+    # in SIGMAS (reference: QualityEvaluator_RangeImageSimilarity.h:76)
+    penalty_not_visible: float = 2.0
     weight: float = 1.0
 
     def evaluate_clouds(
@@ -90,10 +97,13 @@ class QualityRangeImageSimilarity:
         I21 = proj(local_in_g, lv)
         I12 = proj(global_in_l, gv)
         I22 = proj(local_pc.xyz, lv)
-        q = 0.5 * (
-            _score_images(I11, I21, self.sigma, self.penalty_not_visible)
-            + _score_images(I12, I22, self.sigma, self.penalty_not_visible)
-        )
+        s1, n1 = _score_images(I11, I21, self.sigma,
+                               self.penalty_not_visible)
+        s2, n2 = _score_images(I12, I22, self.sigma,
+                               self.penalty_not_visible)
+        # pooled mean over every counted pixel of both pairs (reference
+        # concatenates s1+s2 and divides by the total count)
+        q = (s1 + s2) / jnp.maximum(n1 + n2, 1.0)
         return QualityResult(quality=q, hard_discard=jnp.asarray(False))
 
     def evaluate(self, pairings, grids=None, global_map=None, local_map=None,

@@ -5,6 +5,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mp2p_icp_tpu.core import se3
 from mp2p_icp_tpu.core.metric_map import VoxelGridLayer
@@ -41,6 +42,67 @@ class TestRangeImage:
         )
         center = np.asarray(img)[30, 50]
         assert abs(center - 5.0) < 0.01
+
+    def test_matches_reference_formula_oracle(self):
+        """Formula-exact parity vs a numpy replica of the reference's
+        projectPoints + scores + pooled-mean loop
+        (QualityEvaluator_RangeImageSimilarity.cpp:127-223): per-pixel
+        1-erf(|dr|/(sigma*sqrt2)), penalty IN SIGMAS for one-visible
+        pixels, single pooled mean over both image pairs."""
+        from math import erf, sqrt
+
+        rng = np.random.RandomState(7)
+        g_xyz = room_cloud(rng, n=400)
+        pose = se3.from_xyz_ypr(0.15, -0.1, 0.05, 0.04, 0.02, -0.01)
+        l_xyz = np.asarray(
+            se3.apply(se3.inverse(pose), jnp.asarray(g_xyz))
+        ) + 0.02 * rng.randn(*g_xyz.shape).astype(np.float32)
+
+        q = QualityRangeImageSimilarity(sigma=0.1, penalty_not_visible=2.0)
+        got = float(q.evaluate_clouds(
+            PointCloud.from_numpy(g_xyz), PointCloud.from_numpy(l_xyz),
+            pose,
+        ).quality)
+
+        def np_project(pts, rc_cols=100, rc_rows=60, fx=50.0, fy=50.0,
+                       cx=50.0, cy=30.0):
+            img = np.zeros((rc_rows, rc_cols))
+            for p in pts:
+                if p[0] <= 0.01:
+                    continue  # behind-camera guard (documented deviation)
+                px = cx + fx * (-p[1] / p[0])
+                py = cy + fy * (-p[2] / p[0])
+                ix, iy = int(px), int(py)
+                if ix < 0 or iy < 0 or ix >= rc_cols or iy >= rc_rows:
+                    continue
+                r = float(np.linalg.norm(p))
+                if img[iy, ix] == 0 or r < img[iy, ix]:
+                    img[iy, ix] = r
+            return img
+
+        R = np.asarray(pose.R)
+        t = np.asarray(pose.t)
+        l_in_g = l_xyz @ R.T + t
+        g_in_l = (g_xyz - t) @ R
+        I11 = np_project(g_xyz)
+        I21 = np_project(l_in_g)
+        I12 = np_project(g_in_l)
+        I22 = np_project(l_xyz)
+
+        def scores(m1, m2, sigma=0.1, penalty=2.0):
+            out = []
+            for r1, r2 in zip(m1.ravel(), m2.ravel()):
+                if r1 == 0 and r2 == 0:
+                    continue
+                if r1 == 0 or r2 == 0:
+                    out.append(1.0 - erf(penalty / sqrt(2)))
+                else:
+                    out.append(1.0 - erf(abs(r1 - r2) / (0.1 * sqrt(2))))
+            return out
+
+        all_scores = scores(I11, I21) + scores(I12, I22)
+        want = sum(all_scores) / max(len(all_scores), 1)
+        assert got == pytest.approx(want, abs=1e-4), (got, want)
 
     def test_identical_clouds_score_high(self):
         rng = np.random.RandomState(0)
