@@ -99,20 +99,28 @@ class MatcherPoint2Plane(Matcher):
                         f"'{lm.global_layer}' has no normals channel — "
                         "run FilterEstimateNormals / ops.normals first"
                     )
-                if self.spatial_axis is not None:
-                    raise NotImplementedError(
-                        "use_point_normals under spatial sharding needs "
-                        "normal-carrying k-lists; use the knn-fit path"
-                    )
                 # nearest-plane query on a plane-capable map: k=1 NN,
-                # plane = (neighbour point, its stored normal)
+                # plane = (neighbour point, its stored normal). Under
+                # spatial sharding the normals ride the all_gather k-merge
+                # as the kNN payload (cross-shard gathers are impossible).
                 res = knn_bruteforce(
                     pts, valid, glayer.xyz, glayer.valid_mask(), k=1,
                     max_radius_sq=self.distance_threshold**2,
+                    spatial_axis=self.spatial_axis,
+                    point_payload=(
+                        glayer.normals
+                        if self.spatial_axis is not None else None
+                    ),
                 )
-                g_idx = jnp.clip(res.idx[:, 0], 0, glayer.capacity - 1)
-                centroid = glayer.xyz[g_idx]
-                normal = glayer.normals[g_idx]
+                if self.spatial_axis is not None:
+                    centroid = res.xyz[:, 0]
+                    normal = res.payload[:, 0]
+                else:
+                    g_idx = jnp.clip(
+                        res.idx[:, 0], 0, glayer.capacity - 1
+                    )
+                    centroid = glayer.xyz[g_idx]
+                    normal = glayer.normals[g_idx]
                 has_plane = jnp.sum(normal * normal, axis=-1) > 0.5
                 keep = valid & res.valid[:, 0] & has_plane
                 w = jnp.where(keep, lm.weight * gate, 0.0)

@@ -783,6 +783,7 @@ class SpatialOdometryMapper:
                  twist_prev, do_merge):
             me = jax.lax.axis_index(axis)
             m_local = jax.tree.map(lambda x: x[0], map_sh)
+            m_local_pc = m._map_pc(m_local)
             if dt is not None:
                 seed_rel = se3.exp(jnp.float32(dt) * twist_prev)
             else:
@@ -797,7 +798,8 @@ class SpatialOdometryMapper:
             )
             l_layers = {m.local_layer: local[m.local_layer]}
             g_local, _ = m.icp._crop_globals(
-                m.params, matchers, {m.map_layer: m_local}, l_layers, guess
+                m.params, matchers, {m.map_layer: m_local_pc}, l_layers,
+                guess,
             )
             res = m.icp._align_core(
                 m.params, matchers, {}, g_local, l_layers, guess, None
@@ -819,16 +821,81 @@ class SpatialOdometryMapper:
                 ^ cell[:, 2] * jnp.int32(83492791)
             ) & jnp.int32(0x7FFFFFFF)
             own = (h % n_shards) == me
-            from mp2p_icp_tpu.filters.common import compact
+            if m._incremental:
+                # r5 fast path sharded: insert only the OWNED points into
+                # this shard's voxel hash map (explicit validity mask —
+                # no compaction needed), then fit normals for this
+                # shard's winners against its crop + the full scan
+                from mp2p_icp_tpu.ops.voxel_hash_map import (
+                    hash_map_insert,
+                )
 
-            src_owned = compact(src_world, own)
-            merged_layers = merge(
-                {"__world": src_owned, m.map_layer: m_local}
-            )
-            merged_layers = apply_filter_pipeline(
-                map_filters, merged_layers, None
-            )
-            merged = merged_layers[m.map_layer]
+                merged, dest = hash_map_insert(
+                    m_local, src_world, m.incremental_map_resolution,
+                    valid=src_world.valid_mask() & own, with_dest=True,
+                )
+                if m.normals_knn:
+                    from mp2p_icp_tpu.ops.normals import (
+                        estimate_point_normals,
+                    )
+
+                    C = merged.pc.capacity
+                    cap_n = m.normals_query_capacity
+                    win = dest < C
+                    rank = jnp.cumsum(win.astype(jnp.int32)) - 1
+                    slot = jnp.where(win & (rank < cap_n), rank, cap_n)
+                    q_xyz = (
+                        jnp.full((cap_n + 1, 3), PointCloud.PAD_VALUE,
+                                 jnp.float32)
+                        .at[slot].set(src_world.xyz)[:cap_n]
+                    )
+                    d_map = (
+                        jnp.full((cap_n + 1,), C, jnp.int32)
+                        .at[slot].set(dest)[:cap_n]
+                    )
+                    n_q = jnp.minimum(
+                        jnp.sum(win.astype(jnp.int32)), cap_n
+                    )
+                    near_map = g_local[m.map_layer]
+                    qfit = estimate_point_normals(
+                        PointCloud(xyz=q_xyz, count=n_q),
+                        knn=m.normals_knn,
+                        max_radius=m.normals_radius,
+                        plane_eigen_threshold=m.normals_eigen_threshold,
+                        source=PointCloud(
+                            xyz=jnp.concatenate(
+                                [near_map.xyz, src_world.xyz]
+                            ),
+                            count=near_map.count + src_world.count,
+                        ),
+                        source_valid=jnp.concatenate(
+                            [near_map.valid_mask(),
+                             src_world.valid_mask()]
+                        ),
+                    )
+                    new_normals = (
+                        jnp.concatenate(
+                            [merged.pc.normals,
+                             jnp.zeros((1, 3), jnp.float32)]
+                        )
+                        .at[d_map].set(qfit.normals)[:C]
+                    )
+                    merged = merged._replace(
+                        pc=dataclasses.replace(
+                            merged.pc, normals=new_normals
+                        )
+                    )
+            else:
+                from mp2p_icp_tpu.filters.common import compact
+
+                src_owned = compact(src_world, own)
+                merged_layers = merge(
+                    {"__world": src_owned, m.map_layer: m_local}
+                )
+                merged_layers = apply_filter_pipeline(
+                    map_filters, merged_layers, None
+                )
+                merged = merged_layers[m.map_layer]
             new_map = jax.tree.map(
                 lambda a, b: jnp.where(do_merge, a, b), merged, m_local
             )
@@ -855,9 +922,11 @@ class SpatialOdometryMapper:
 
     def seed_map(self, raw_layers, pose, twist=None):
         """Sharded frame-0 seed: build the single-device seed, then route
-        each point to its owning shard host-side."""
+        each point to its owning shard host-side. Incremental mode
+        returns a stacked [n_shards, ...] VoxelHashMapState."""
         m = self.mapper
-        single = m.seed_map(raw_layers, pose, twist)
+        single_state = m.seed_map(raw_layers, pose, twist)
+        single = m._map_pc(single_state)
         n = self._n_shards
         shard_cap = -(-m.map_capacity // n)
         xyz = np.asarray(single.xyz)
@@ -870,6 +939,42 @@ class SpatialOdometryMapper:
             ^ cell[:, 2] * 83492791
         ) & 0x7FFFFFFF
         owner = (h % n).astype(np.int32)
+
+        if m._incremental:
+            # per-shard hash states built by inserting each shard's owned
+            # points (host routing; one jitted insert per shard)
+            from mp2p_icp_tpu.ops.voxel_hash_map import (
+                empty_voxel_hash_map, hash_map_insert,
+            )
+
+            states = []
+            for s in range(n):
+                sel = valid & (owner == s)
+                idx = np.flatnonzero(sel)[:shard_cap]
+                chan_kw = {}
+                for name in ("intensity", "ring", "time"):
+                    ch = getattr(single, name)
+                    if ch is not None:
+                        chan_kw[name] = np.asarray(ch)[idx]
+                pc = PointCloud.from_numpy(
+                    xyz[idx], capacity=shard_cap, **chan_kw
+                )
+                if single.normals is not None:
+                    nr = np.zeros((shard_cap, 3), np.float32)
+                    nr[: idx.shape[0]] = np.asarray(single.normals)[idx]
+                    pc = dataclasses.replace(pc, normals=jnp.asarray(nr))
+                st = empty_voxel_hash_map(
+                    shard_cap,
+                    intensity=single.intensity is not None,
+                    ring=single.ring is not None,
+                    time=single.time is not None,
+                    normals=single.normals is not None,
+                )
+                states.append(hash_map_insert(
+                    st, pc, m.incremental_map_resolution
+                ))
+            return _stack(states)
+
         out_xyz = np.full((n, shard_cap, 3), PointCloud.PAD_VALUE,
                           np.float32)
         counts = np.zeros((n,), np.int32)
@@ -935,7 +1040,8 @@ class SpatialOdometryMapper:
             mats[i, :3, 3] = np.asarray(p.t)
         return {
             "poses": mats,
-            "map": map_sh,
+            "map": m._map_pc(map_sh),
+            "map_state": map_sh,
             "scans_per_s": (n - 1) / max(elapsed, 1e-9),
             "qualities": np.asarray(
                 [float(q) for q in qualities], np.float32

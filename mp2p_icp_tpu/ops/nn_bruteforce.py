@@ -45,6 +45,10 @@ class NNResult(NamedTuple):
     # path, where ``idx`` is a cross-shard global index that cannot be
     # gathered from the local shard
     xyz: Optional[jax.Array] = None
+    # per-neighbour payload [Q, k, P] (sharded path only): caller-supplied
+    # per-point attributes (e.g. stored normals) that ride the k-merge
+    # because a cross-shard gather by global idx is impossible
+    payload: Optional[jax.Array] = None
 
 
 def _round_up(n, m):
@@ -710,6 +714,7 @@ def knn_bruteforce(
     interpret: bool = False,
     stream_block: int = STREAM_BLOCK,
     spatial_axis: Optional[str] = None,
+    point_payload: Optional[jax.Array] = None,
 ) -> NNResult:
     """Exact kNN of queries [Q, 3] among points [C, 3].
 
@@ -724,6 +729,9 @@ def knn_bruteforce(
     halo-gather plan. Returned idx is global (shard * C + local); returned
     ``xyz`` carries the neighbour coordinates (a cross-shard gather is
     impossible).
+    point_payload: optional [C, P] per-point attributes (e.g. stored
+    normals) gathered on the owning shard and merged alongside xyz
+    (sharded path only; ignored otherwise — local callers gather by idx).
     """
     if spatial_axis is not None:
         res = knn_bruteforce(
@@ -734,10 +742,13 @@ def knn_bruteforce(
         C = points.shape[0]
         shard = jax.lax.axis_index(spatial_axis)
         gidx = jnp.where(res.valid, res.idx + shard * C, -1)
-        nxyz = points[jnp.clip(res.idx, 0, C - 1)]  # [Q, k, 3] local gather
+        safe = jnp.clip(res.idx, 0, C - 1)
+        nxyz = points[safe]  # [Q, k, 3] local gather
         d_all = jax.lax.all_gather(res.dist_sq, spatial_axis)  # [n, Q, k]
         i_all = jax.lax.all_gather(gidx, spatial_axis)
         x_all = jax.lax.all_gather(nxyz, spatial_axis)
+        if point_payload is not None:
+            p_all = jax.lax.all_gather(point_payload[safe], spatial_axis)
         n = d_all.shape[0]
         Q = queries.shape[0]
         cat_d = jnp.moveaxis(d_all, 0, 1).reshape(Q, n * k)
@@ -747,12 +758,18 @@ def knn_bruteforce(
         d = -neg
         idx = jnp.take_along_axis(cat_i, sel, axis=1)
         xyz = jnp.take_along_axis(cat_x, sel[..., None], axis=1)
+        payload = None
+        if point_payload is not None:
+            P = point_payload.shape[-1]
+            cat_p = jnp.moveaxis(p_all, 0, 1).reshape(Q, n * k, P)
+            payload = jnp.take_along_axis(cat_p, sel[..., None], axis=1)
         valid = idx >= 0
         return NNResult(
             idx=idx,
             dist_sq=jnp.where(valid, d, _BIG),
             valid=valid,
             xyz=xyz,
+            payload=payload,
         )
     Q, C = queries.shape[0], points.shape[0]
     if backend == "auto":

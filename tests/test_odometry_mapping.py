@@ -470,3 +470,88 @@ class TestSpatialShardedOdometry:
         union = set().union(*vox_sets)
         jac = len(set1 & union) / max(len(set1 | union), 1)
         assert jac > 0.9, jac
+
+    def test_spatial_incremental_mode(self, odometry_run):
+        """The r5 flagship configuration (incremental voxel-hash map +
+        stored normals, k=1 matcher) SHARDED over the 'space' mesh: the
+        per-shard hash inserts route by voxel ownership, and the stored
+        normals ride the spatial kNN k-merge as the payload
+        (ops/nn_bruteforce point_payload). Gates: tracking ATE, no
+        dropped inserts, exact ownership, voxel-set agreement with the
+        unsharded incremental run."""
+        import dataclasses as _dc
+
+        import jax
+        from jax.sharding import Mesh
+
+        from mp2p_icp_tpu.odometry import (
+            OdometryMapper,
+            SpatialOdometryMapper,
+        )
+
+        frames = odometry_run["frames"][:10]
+        twists = odometry_run["twists"][:10]
+        gt = odometry_run["gt"]
+        base = _make_mapper()
+        icp_inc = ICP(
+            matchers=[
+                _dc.replace(base.icp.matchers[0], use_point_normals=True)
+            ],
+            solvers=base.icp.solvers,
+        )
+
+        def make_inc():
+            return OdometryMapper(
+                icp=icp_inc, params=base.params, filters=base.filters,
+                local_layer="decimated", map_layer="map",
+                map_capacity=1 << 17,
+                incremental_map_resolution=0.5,
+                normals_knn=8, normals_radius=1.5,
+            )
+
+        p0 = se3.Pose(
+            jnp.asarray(gt[0, :3, :3], jnp.float32),
+            jnp.asarray(gt[0, :3, 3], jnp.float32),
+        )
+        n_shards = 4
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), ("space",))
+        sm = SpatialOdometryMapper(
+            mapper=make_inc(), mesh=mesh, ownership_resolution=0.5
+        )
+        out = sm.run(frames, twists=twists, dt=DT, initial_pose=p0)
+        assert ate_rmse(out["poses"], gt[:10]) < 0.25
+        assert int(np.asarray(out["map_state"].n_dropped).sum()) == 0
+
+        msh = out["map"]
+        vox_sets = []
+        for s in range(n_shards):
+            ns = int(np.asarray(msh.count)[s])
+            xyz = np.asarray(msh.xyz[s][:ns])
+            cell = np.floor(xyz / 0.5).astype(np.int64)
+            h = (
+                cell[:, 0] * 73856093 ^ cell[:, 1] * 19349663
+                ^ cell[:, 2] * 83492791
+            ) & 0x7FFFFFFF
+            assert (h % n_shards == s).all(), f"shard {s} foreign voxel"
+            vox_sets.append({tuple(c) for c in cell})
+        for a in range(n_shards):
+            for b in range(a + 1, n_shards):
+                assert not (vox_sets[a] & vox_sets[b])
+
+        seq = make_inc().run(frames, twists=twists, dt=DT, initial_pose=p0)
+        nseq = int(seq["map"].count)
+        set1 = {
+            tuple(c)
+            for c in np.floor(
+                np.asarray(seq["map"].xyz[:nseq]) / 0.5
+            ).astype(np.int64)
+        }
+        union = set().union(*vox_sets)
+        jac = len(set1 & union) / max(len(set1 | union), 1)
+        assert jac > 0.9, jac
+        # trajectory close to the unsharded incremental run (normals fit
+        # candidates differ per shard, so allow a few cm)
+        dt_pos = np.linalg.norm(
+            out["poses"][:, :3, 3] - seq["poses"][:, :3, 3], axis=1
+        )
+        assert dt_pos.max() < 0.05, dt_pos
