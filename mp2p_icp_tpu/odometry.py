@@ -12,16 +12,22 @@ TPU-first design: the WHOLE per-frame loop is ONE jitted dispatch —
      FilterDecimateVoxels, ...) traced inline;
   2. the fused scan-to-map ICP align (crop path, MXU NN) against the
      current rolling map;
-  3. world-transform of the merge layer by the solved pose and a
-     FilterMerge scatter into the fixed-capacity map buffer —
+  3. map update by the solved pose: either a FilterMerge scatter +
+     FilterDecimateVoxels maintenance (sort mode), or — the r5 fast
+     path — an O(n_new) insert into an incremental voxel hash map
+     (`incremental_map_resolution`, ops/voxel_hash_map.py) with
+     winners-only per-point normal fits feeding the plane-capable-map
+     matcher (`MatcherPoint2Plane(use_point_normals=True)`) —
 with the map donated back to itself (jax.jit donate) so the 10⁶-point
 buffer never copies, and the pose chain staying on device. The host feeds
 raw scans and fetches the trajectory at the end; there are zero
-per-iteration host syncs and one dispatch per frame.
+per-iteration host syncs and one dispatch per frame (`run`), or ONE
+dispatch for the whole sequence (`run_offline`, lax.scan).
 
-Equality contract (tested in tests/test_odometry_mapping.py): the map this
-loop builds matches the host-side sm2mm filter-pipeline path (FilterMerge
-with robot-pose variables) run over the same estimated poses.
+Equality contracts (tested in tests/test_odometry_mapping.py): the map
+the sort-mode loop builds matches the host-side sm2mm filter-pipeline
+path (FilterMerge with robot-pose variables) run over the same estimated
+poses; the incremental mode keeps the same FirstPoint winners per voxel.
 """
 
 from __future__ import annotations
