@@ -23,12 +23,16 @@ Modes reported:
     HBM-streamed superblock kNN runs INSIDE the fused align on hardware
     (VERDICT r2 Next #5)
   - scan-to-16M-map: the 10^7 scale proof (VERDICT r2 Next #7)
-  - FULL MAP-BUILDING ODOMETRY LOOP (VERDICT r3 Next #1+#2): deskew ->
-    decimate -> scan-to-accumulated-map point-to-plane align ->
-    merge + map voxel maintenance, one fused dispatch per frame over a
+  - FULL MAP-BUILDING ODOMETRY LOOP (r5 fast configuration): deskew ->
+    decimate -> scan-to-accumulated-map plane-capable align (stored map
+    normals, k=1 NN/iter) -> incremental voxel-hash map insert with
+    winners-only normal fits, one fused dispatch per frame over a
     LiDAR-realistic spinning-scanner street sequence, vs the
     same-pipeline single-core C++ (native/baseline_odometry.cpp); plus
-    the B-stream vmapped variant (BatchedOdometryMapper)
+    the whole-sequence lax.scan offline mode (run_offline) and the
+    B-stream vmapped variant (BatchedOdometryMapper.run_offline).
+    A/B levers: MP2P_ODO_INC_MAP=0 restores the r4 sort-maintenance
+    path, MP2P_ODO_DEC_BACKEND=hash the scratch-table decimation
   - per-stage device-time breakdown (VERDICT r2 Next #1b): DT-segment vs
     Adaptive-segment loop-body cost + raw NN sweep, chained-in-one-jit so
     dispatch is amortised away
